@@ -1,0 +1,59 @@
+"""Global configuration for the TPU-native decomposition library.
+
+The reference selects its native backend (MKL / Netlib / OpenBLAS /
+Accelerate) at compile time via cargo features (ref: src/lib.rs:4-11,
+Cargo.toml:28-39).  On TPU there is a single XLA backend; "backend
+selection" becomes a runtime choice of *linalg implementation* and
+*matmul precision*:
+
+* ``linalg_backend``:
+    - ``"auto"``   — per-dtype dispatch: float64/complex128 use the
+      in-house Jacobi solvers (the only way to reach 1e-10 accuracy on
+      TPU, whose built-in SVD/eigh lowerings carry f32-grade internals),
+      float32/complex64 use XLA's built-ins (MXU-optimized QDWH) whose
+      ~1e-7 vector accuracy is at the f32 noise floor anyway.
+    - ``"jacobi"`` — always use the in-house Jacobi SVD / eigh.
+    - ``"xla"``    — always use ``jnp.linalg`` lowerings.
+* ``matmul_precision``: passed to every ``jnp.dot`` in the compute path.
+  ``"highest"`` keeps f32 matmuls in true f32 (TPU default is bf16-ish
+  and loses ~3 decimal digits, far outside the 1e-5 f32 parity band).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+__all__ = ["config", "Config"]
+
+
+@dataclass
+class Config:
+    linalg_backend: str = "auto"  # "auto" | "jacobi" | "xla"
+    matmul_precision: str = "highest"
+    # Max Jacobi sweeps before declaring non-convergence (LinalgError
+    # analogue of LAPACK info != 0; ref: linalg.rs:84).
+    jacobi_max_sweeps: int = 30
+    # Check convergence and raise LinalgError on failure.  Disable inside
+    # fully-jitted pipelines where host sync is undesirable.
+    check_convergence: bool = True
+
+    def validate(self) -> None:
+        if self.linalg_backend not in ("auto", "jacobi", "xla"):
+            raise ValueError(f"unknown linalg backend: {self.linalg_backend}")
+
+
+config = Config()
+
+
+def enable_x64() -> None:
+    """Enable 64-bit JAX types (call before creating any arrays)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
+if not os.environ.get("PETAL_TPU_NO_X64"):
+    # The reference is an f64-first LAPACK library; mirror that default so
+    # float64 numpy inputs are not silently truncated to f32.
+    enable_x64()

@@ -1,0 +1,79 @@
+"""Shared model plumbing: transform helpers and input validation.
+
+Ports of the private free functions at pca.rs:720-811 plus the dimension
+checks each model performs (pca.rs:199-204, 736-741, 798-803).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..errors import InvalidInput
+from ..ops.linalg import mdot
+
+__all__ = [
+    "as_matrix",
+    "check_min_dims",
+    "transform",
+    "transform_with_u",
+    "inverse_transform",
+]
+
+
+def as_matrix(x) -> jnp.ndarray:
+    """Coerce input to a 2-D floating/complex jax array."""
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise InvalidInput(f"expected a 2-dimensional matrix, got {x.ndim}-d")
+    if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_:
+        x = x.astype(jnp.float64)
+    return x
+
+
+def check_min_dims(x, n_components: int) -> None:
+    """Every dimension must be at least n_components (ref: pca.rs:199-204)."""
+    if any(dim < n_components for dim in x.shape):
+        raise InvalidInput(
+            f"every dimension should be at least {n_components}"
+        )
+
+
+def check_fitted(components) -> None:
+    if components is None:
+        raise InvalidInput("model has not been fitted")
+
+
+def transform(x, components, means, centering: bool):
+    """Project onto the fitted components: ``(x - μ)·Wᵀ``
+    (ref: pca.rs:726-750)."""
+    check_fitted(components)
+    if x.shape[1] != means.shape[0]:
+        raise InvalidInput(f"# of columns should be {means.shape[0]}")
+    if centering:
+        x = x - means
+    # Deliberate deviation for complex inputs: the reference uses a plain
+    # transpose (``x.dot(&components.t())``, pca.rs:745), under which
+    # fit_transform ≠ fit+transform for complex data.  The conjugate
+    # transpose is the mathematically-correct projection (identical for
+    # real data, which is all the reference tests).
+    return mdot(x, components.conj().T)
+
+
+def transform_with_u(u, singular, n_components: int):
+    """Projected data straight from the SVD: ``U[:, :k]·diag(σ[:k])``
+    (ref: pca.rs:758-779)."""
+    k = n_components
+    return u[:, :k] * singular[:k].astype(u.dtype)[None, :]
+
+
+def inverse_transform(y, components, means, centering: bool):
+    """Back-project to the original space: ``y·W + μ``
+    (ref: pca.rs:788-811)."""
+    check_fitted(components)
+    y = as_matrix(y)
+    if y.shape[1] != components.shape[0]:
+        raise InvalidInput(f"# of columns should be {components.shape[0]}")
+    out = mdot(y, components)
+    if centering:
+        out = out + means
+    return out

@@ -1,0 +1,332 @@
+"""Parallel (symmetric) FastICA.
+
+TPU-native rebuild of the reference's ``FastIca``/``FastIcaBuilder``
+(ref: ica.rs:41-317) and its math kernels ``ica_par``,
+``symmetric_decorrelation`` and ``logcosh`` (ref: ica.rs:319-398).
+
+Fidelity notes:
+
+* ``n_components = min(n_samples, n_features)`` — not user-settable, as
+  in the reference (ica.rs:173).
+* The whitening matrix K fills **all** feature columns —
+  ``K = (U[:, :k] / σ[:k])ᵀ`` — fixing the reference's latent
+  uninitialized-memory bug when n_features > n_samples (ica.rs:190-203,
+  SURVEY C13).
+* ``ica_par``'s convergence functional is the reference's exact variant:
+  ``max_i ||row_i(W1)·col_i(W)| − 1|`` (rows of the *new* W against
+  columns of the *old* W, ica.rs:344-354) — subtly different from
+  sklearn's ``diag(W1·Wᵀ)``.  The iteration cap (200) and tolerance
+  (1e-4) match ica.rs:216 and are promoted to parameters.
+* Contrast functions: ``logcosh`` (the reference's only contrast,
+  ica.rs:383-398) plus ``exp`` and ``cube`` as extensions.
+
+The iteration is a single jitted ``lax.while_loop``: two MXU matmuls
+(``W·X`` k×k×n and ``G·Xᵀ`` k×n×k) plus a k×k Jacobi eigendecomposition
+per step, so the whole solve stays on-device with no host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..errors import InvalidInput
+from ..ops import linalg as _linalg
+from ..ops.jacobi import jacobi_eigh
+from ..ops.linalg import eigh, mdot, svd
+from ..utils import rng as rng_util
+from . import _common
+
+__all__ = [
+    "FastIca",
+    "FastIcaBuilder",
+    "ica_par",
+    "symmetric_decorrelation",
+    "logcosh",
+]
+
+_CONTRASTS = ("logcosh", "exp", "cube")
+
+
+def _eigh_in_jit(a):
+    """Backend-dispatched eigh safe to call under ``jit`` (no host-side
+    convergence check; dispatch is by dtype, a trace-time constant)."""
+    if config.linalg_backend == "xla":
+        return jnp.linalg.eigh(a)
+    if config.linalg_backend == "jacobi" or a.dtype in (
+        jnp.float64,
+        jnp.complex128,
+    ):
+        w, v, _, _ = jacobi_eigh(a)
+        return w, v
+    return jnp.linalg.eigh(a)
+
+
+def symmetric_decorrelation(w):
+    """W ← (W·Wᵀ)^(−1/2)·W via eigendecomposition (ref: ica.rs:363-381).
+
+    ``eigh(W·Wᵀ) = E·diag(λ)·Eᵀ``; returns ``E·diag(1/√λ)·Eᵀ·W``.
+    """
+    w = jnp.asarray(w)
+    e, v = _eigh_in_jit(mdot(w, w.conj().T))
+    inv_sqrt = (1.0 / jnp.sqrt(e)).astype(w.dtype)
+    return mdot(mdot(v * inv_sqrt[None, :], v.conj().T), w)
+
+
+def logcosh(x):
+    """In-place tanh contrast (ref: ica.rs:383-398).
+
+    Returns ``(tanh(x), mean(1 − tanh²(x), axis=1))`` — G and the
+    per-row mean of g′.
+    """
+    g = jnp.tanh(x)
+    g_prime = jnp.mean(1.0 - g * g, axis=1)
+    return g, g_prime
+
+
+def _exp_contrast(x):
+    e = jnp.exp(-(x * x) / 2.0)
+    return x * e, jnp.mean((1.0 - x * x) * e, axis=1)
+
+
+def _cube_contrast(x):
+    return x ** 3, jnp.mean(3.0 * x * x, axis=1)
+
+
+def _contrast_fn(name: str):
+    if name == "logcosh":
+        return logcosh
+    if name == "exp":
+        return _exp_contrast
+    if name == "cube":
+        return _cube_contrast
+    raise ValueError(f"unknown contrast function {name!r}")
+
+
+@partial(jax.jit, static_argnames=("max_iter", "fun"))
+def _ica_par_core(x, tol, max_iter: int, w_init, fun: str):
+    contrast = _contrast_fn(fun)
+    w0 = symmetric_decorrelation(w_init)
+    p_inv = 1.0 / x.shape[1]  # ref: ica.rs:330
+
+    def body(state):
+        w, _, it = state
+        gwtx, g_wtx = contrast(mdot(w, x))  # ref: ica.rs:332
+        # W1 = symdecorr(G·Xᵀ/p − diag(g′)·W)   (ref: ica.rs:333-343)
+        update = mdot(gwtx, x.T) * p_inv - g_wtx[:, None] * w
+        w1 = symmetric_decorrelation(update)
+        # lim = max_i ||row_i(W1)·col_i(W)| − 1|  (ref: ica.rs:344-354)
+        lim = jnp.max(jnp.abs(jnp.abs(jnp.einsum("ij,ji->i", w1, w)) - 1.0))
+        return w1, lim, it + 1
+
+    def cond(state):
+        _, lim, it = state
+        return (lim >= tol) & (it < max_iter)
+
+    lim0 = jnp.asarray(jnp.inf, x.dtype)
+    w, lim, n_iter = jax.lax.while_loop(
+        cond, body, (w0, lim0, jnp.asarray(0, jnp.int32))
+    )
+    return w, lim, n_iter
+
+
+def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh"):
+    """Symmetric FastICA iteration (ref: ica.rs:319-361).
+
+    Returns ``(w, n_iter)``; ``n_iter == max_iter`` when the tolerance was
+    never reached, matching the reference's return at ica.rs:360.
+    """
+    x = jnp.asarray(x)
+    w, _, n_iter = _ica_par_core(
+        x, jnp.asarray(tol, jnp.real(x).dtype), int(max_iter),
+        jnp.asarray(w_init), fun,
+    )
+    return w, int(n_iter)
+
+
+class FastIca:
+    """FastICA with symmetric decorrelation (ref: ica.rs:41-222).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu import FastIcaBuilder
+    >>> x = np.array([[0., 0.], [1., 1.], [1., -1.]])
+    >>> y = FastIcaBuilder().seed(42).build().fit_transform(x)
+    >>> y.shape
+    (3, 2)
+    """
+
+    def __init__(self, *, seed: int | None = None, key=None,
+                 fun: str = "logcosh", tol: float = 1e-4,
+                 max_iter: int = 200, whiten_solver: str = "svd"):
+        if fun not in _CONTRASTS:
+            raise ValueError(f"unknown contrast function {fun!r}")
+        if whiten_solver not in ("svd", "eigh"):
+            raise ValueError(f"unknown whiten solver {whiten_solver!r}")
+        if key is not None:
+            self._key = key
+        else:
+            seed = rng_util.random_seed() if seed is None else seed
+            self._key = rng_util.key_from_seed(seed)
+        self._fun = fun
+        self._tol = float(tol)  # ref hardcodes 1e-4 (ica.rs:216)
+        self._max_iter = int(max_iter)  # ref hardcodes 200 (ica.rs:216)
+        self._whiten_solver = whiten_solver
+        self._components = None  # (k, d)
+        self._means = None  # (d,)
+        self._n_iter = 0
+
+    @classmethod
+    def new(cls) -> "FastIca":
+        return cls()
+
+    @classmethod
+    def with_seed(cls, seed: int) -> "FastIca":
+        return cls(seed=seed)
+
+    @classmethod
+    def with_key(cls, key) -> "FastIca":
+        return cls(key=key)
+
+    def components(self):
+        return self._components
+
+    def mean(self):
+        return self._means
+
+    @property
+    def n_iter_(self) -> int:
+        """Iterations used by the last fit (the reference records this
+        privately at ica.rs:49,219; exposed here per SURVEY §5)."""
+        return self._n_iter
+
+    components_ = property(lambda self: self._components)
+    mean_ = property(lambda self: self._means)
+
+    # -- fitting (ref: ica.rs:105-157) ----------------------------------
+    def fit(self, x) -> "FastIca":
+        self._inner_fit(_common.as_matrix(x))
+        return self
+
+    def transform(self, x):
+        """(x − μ)·Wᵀ (ref: ica.rs:120-131)."""
+        x = _common.as_matrix(x)
+        _common.check_fitted(self._components)
+        if x.shape[1] != self._means.shape[0]:
+            raise InvalidInput("too many columns")
+        return mdot(x - self._means, self._components.T)
+
+    def fit_transform(self, x):
+        """Fit, then return ``(components·X_c)ᵀ`` (ref: ica.rs:147-157)."""
+        x = _common.as_matrix(x)
+        xt_c = self._inner_fit(x)
+        return mdot(self._components, xt_c).T
+
+    def _inner_fit(self, x):
+        """ref: ica.rs:167-221.  Returns the centered, transposed data
+        (d × n), as the reference does."""
+        n, d = x.shape
+        k = min(n, d)  # not user-settable (ica.rs:173)
+        if n == 0:
+            return jnp.zeros((d, 0), x.dtype)
+        means = jnp.mean(x, axis=0)
+        xt = (x - means).T  # (d, n) — ref: ica.rs:178-188
+
+        kmat, _sigma = _whitening_matrix(xt, k, self._whiten_solver)
+        # X₁ = K·Xᵀ·√n  (ref: ica.rs:204-208; the √n factor makes the
+        # whitened rows unit-variance under the 1/n inner product).
+        x1 = mdot(kmat, xt) * jnp.sqrt(jnp.asarray(n, x.dtype))
+
+        self._key, subkey = jax.random.split(self._key)
+        w_init = rng_util.normal(subkey, (k, k), x.dtype)
+
+        w, n_iter = ica_par(
+            x1, self._tol, self._max_iter, w_init, fun=self._fun
+        )
+        self._components = mdot(w, kmat)  # ref: ica.rs:217
+        self._means = means
+        self._n_iter = n_iter
+        return xt
+
+
+def _whitening_matrix(xt, k: int, solver: str):
+    """K such that K·Xᵀ has decorrelated unit-ish rows
+    (ref: ica.rs:189-203, with the C13 bug fixed: all d columns filled).
+
+    ``svd``: K = (U[:, :k]/σ[:k])ᵀ from the thin SVD of Xᵀ (d × n).
+    ``eigh``: same matrix from eigh(Xᵀ·X) — U are the eigenvectors of the
+    d×d Gram, σ = √λ; one big MXU matmul instead of an SVD of the full
+    data, and the Gram reduces over samples (one psum when row-sharded).
+    """
+    if solver == "svd":
+        u, sigma, _ = svd(xt, compute_vt=False)
+    else:
+        gram = _linalg.mdot(xt, xt.conj().T)
+        lam, vecs = eigh(gram)  # ascending
+        lam = lam[::-1]
+        u = vecs[:, ::-1]
+        sigma = jnp.sqrt(jnp.maximum(lam, 0.0))
+    u_k = u[:, :k]
+    sigma_k = sigma[:k]
+    kmat = (u_k / sigma_k.astype(u_k.dtype)[None, :]).T
+    return kmat, sigma_k
+
+
+class FastIcaBuilder:
+    """Builder mirroring ``FastIcaBuilder`` (ref: ica.rs:244-317).
+
+    >>> from petal_decomposition_tpu import FastIcaBuilder
+    >>> ica = FastIcaBuilder().seed(1234567891011121314).build()
+    """
+
+    def __init__(self):
+        self._seed = None
+        self._key = None
+        self._fun = "logcosh"
+        self._tol = 1e-4
+        self._max_iter = 200
+        self._whiten_solver = "svd"
+
+    @classmethod
+    def new(cls) -> "FastIcaBuilder":
+        return cls()
+
+    @classmethod
+    def with_key(cls, key) -> "FastIcaBuilder":
+        b = cls()
+        b._key = key
+        return b
+
+    def seed(self, seed: int) -> "FastIcaBuilder":
+        self._seed = seed
+        return self
+
+    def fun(self, fun: str) -> "FastIcaBuilder":
+        self._fun = fun
+        return self
+
+    def tol(self, tol: float) -> "FastIcaBuilder":
+        self._tol = tol
+        return self
+
+    def max_iter(self, max_iter: int) -> "FastIcaBuilder":
+        self._max_iter = max_iter
+        return self
+
+    def whiten_solver(self, solver: str) -> "FastIcaBuilder":
+        self._whiten_solver = solver
+        return self
+
+    def build(self) -> FastIca:
+        return FastIca(
+            seed=self._seed,
+            key=self._key,
+            fun=self._fun,
+            tol=self._tol,
+            max_iter=self._max_iter,
+            whiten_solver=self._whiten_solver,
+        )

@@ -1,0 +1,166 @@
+"""Exact (full-SVD) principal component analysis.
+
+TPU-native rebuild of the reference's ``Pca``/``PcaBuilder``
+(ref: pca.rs:41-283).  The fit is a pure function over jax arrays — mean
+centering, thin SVD (Jacobi on TPU for f64 accuracy), deterministic sign
+flip, component extraction — wrapped in a small stateful class that
+mirrors the reference API surface exactly:
+
+``fit`` / ``transform`` / ``fit_transform`` / ``inverse_transform``,
+``components()``, ``mean()``, ``n_components()``, ``singular_values()``,
+``explained_variance_ratio()`` (ref: pca.rs:78-184).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..errors import InvalidInput
+from ..ops.linalg import svd, svd_flip
+from . import _common
+
+__all__ = ["Pca", "PcaBuilder"]
+
+
+class Pca:
+    """Exact PCA via full SVD (ref: pca.rs:41-232).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu import PcaBuilder
+    >>> x = np.array([[0., 0.], [1., 1.], [2., 2.]])
+    >>> y = PcaBuilder(1).build().fit_transform(x)
+    >>> bool(abs(abs(y[0, 0]) - 2 ** 0.5) < 1e-8)
+    True
+    """
+
+    def __init__(self, n_components: int, *, centering: bool = True):
+        if n_components < 0:
+            raise InvalidInput("n_components must be non-negative")
+        self._n_components = int(n_components)
+        self._centering = bool(centering)
+        self._components = None  # (k, d)
+        self._means = None  # (d,)
+        self._singular = None  # (k,) real
+        self._total_variance = None  # real scalar
+        self._n_samples = 0
+
+    # -- accessors (ref: pca.rs:78-105) ---------------------------------
+    def components(self):
+        """Principal axes in feature space, shape (k, d)."""
+        return self._components
+
+    def mean(self):
+        """Per-feature empirical mean (zeros when centering is off)."""
+        return self._means
+
+    def n_components(self) -> int:
+        return self._n_components
+
+    def singular_values(self):
+        return self._singular
+
+    def explained_variance_ratio(self):
+        """σᵢ²/Σσⱼ² over *all* singular values (ref: pca.rs:101-105,224)."""
+        var = self._singular * self._singular
+        return var / self._total_variance
+
+    # sklearn-style aliases
+    components_ = property(lambda self: self._components)
+    mean_ = property(lambda self: self._means)
+    singular_values_ = property(lambda self: self._singular)
+
+    @property
+    def explained_variance_ratio_(self):
+        return self.explained_variance_ratio()
+
+    # -- fitting --------------------------------------------------------
+    def fit(self, x) -> "Pca":
+        """Fit the model (ref: pca.rs:116-122).  Returns ``self``."""
+        self._inner_fit(_common.as_matrix(x))
+        return self
+
+    def transform(self, x):
+        """Apply the learned projection (ref: pca.rs:130-135)."""
+        return _common.transform(
+            _common.as_matrix(x), self._components, self._means,
+            self._centering,
+        )
+
+    def fit_transform(self, x):
+        """Fit and project in one pass, reusing U (ref: pca.rs:153-167)."""
+        x = _common.as_matrix(x)
+        u = self._inner_fit(x)
+        return _common.transform_with_u(
+            u, self._singular_full, self._n_components
+        )
+
+    def inverse_transform(self, y):
+        """Back-project to the original space (ref: pca.rs:176-184)."""
+        return _common.inverse_transform(
+            y, self._components, self._means, self._centering
+        )
+
+    def _inner_fit(self, x):
+        """ref: pca.rs:195-231."""
+        k = self._n_components
+        _common.check_min_dims(x, k)
+        n, d = x.shape
+
+        if n == 0:
+            # Empty input: the reference's mean_axis returns None and
+            # inner_fit early-returns an empty U without updating state
+            # (pca.rs:207-211).
+            self._singular_full = jnp.zeros((0,), _real_dtype(x.dtype))
+            return jnp.zeros((0, d), x.dtype)
+
+        if self._centering:
+            means = jnp.mean(x, axis=0)
+            xc = x - means
+        else:
+            means = jnp.zeros((d,), x.dtype)
+            xc = x
+
+        u, sigma, vt = svd(xc, compute_vt=True)
+        u, vt = svd_flip(u, vt)
+        # Total variance sums *all* squared singular values (pca.rs:224).
+        self._total_variance = sigma @ sigma
+        self._components = vt[:k, :]
+        self._n_samples = n
+        self._means = means
+        self._singular = sigma[:k]
+        self._singular_full = sigma
+        return u
+
+
+def _real_dtype(dtype):
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.complex64:
+        return jnp.float32
+    if dtype == jnp.complex128:
+        return jnp.float64
+    return dtype
+
+
+class PcaBuilder:
+    """Builder mirroring the reference's ``PcaBuilder`` (pca.rs:246-283).
+
+    >>> from petal_decomposition_tpu import PcaBuilder
+    >>> pca = PcaBuilder(2).centering(False).build()
+    """
+
+    def __init__(self, n_components: int):
+        self._n_components = n_components
+        self._centering = True
+
+    @classmethod
+    def new(cls, n_components: int) -> "PcaBuilder":
+        return cls(n_components)
+
+    def centering(self, centering: bool) -> "PcaBuilder":
+        self._centering = centering
+        return self
+
+    def build(self) -> Pca:
+        return Pca(self._n_components, centering=self._centering)

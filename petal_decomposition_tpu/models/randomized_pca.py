@@ -1,0 +1,279 @@
+"""Randomized (Halko) truncated-SVD principal component analysis.
+
+TPU-native rebuild of the reference's ``RandomizedPca`` /
+``RandomizedPcaBuilder`` (ref: pca.rs:317-663) and the private
+``randomized_svd`` / ``randomized_range_finder`` pipeline
+(ref: pca.rs:665-718).
+
+Reference defaults are preserved and promoted to parameters:
+
+* oversampling k+10 (hardcoded at pca.rs:679) → ``n_oversamples=10``;
+* 7 power iterations (hardcoded at pca.rs:680) → ``n_power_iters=7``;
+* LU → P·L normalization between power-iteration matmuls
+  (pca.rs:709-713) → ``power_iteration_normalizer='lu'``, with ``'qr'``
+  (Householder), ``'cholqr2'`` (matmul-only — the choice for row-sharded
+  fits, where the k×k Gram is one psum), and ``'none'`` as alternatives;
+* total variance is the squared Frobenius norm of the centered data
+  (pca.rs:533,537-539), *not* Σσ² — randomized σ are truncated.
+
+The whole pipeline is MXU-dominated: the sketch ``X·Ω``, the 14
+power-iteration matmuls, the projection ``Qᵀ·X`` and ``Q·U_B`` are large
+dense matmuls; the only factorizations are on (k+10)-wide panels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import InvalidInput
+from ..ops.linalg import cholesky_qr2, lu_pl, mdot, qr, svd_flip, svddc
+from ..utils import rng as rng_util
+from . import _common
+from .pca import _real_dtype
+
+__all__ = [
+    "RandomizedPca",
+    "RandomizedPcaBuilder",
+    "randomized_svd",
+    "randomized_range_finder",
+]
+
+_NORMALIZERS = ("lu", "qr", "cholqr2", "none")
+
+
+def randomized_range_finder(x, size: int, n_iter: int, key,
+                            normalizer: str = "lu"):
+    """Orthonormal basis approximating range(x) (ref: pca.rs:689-718).
+
+    Gaussian sketch Ω (d × size), Y = X·Ω, then ``n_iter`` power
+    iterations alternating Xᵀ·norm(Y) and X·norm(·) with the configured
+    normalization, finished with an economy QR.
+    """
+    if normalizer not in _NORMALIZERS:
+        raise ValueError(f"unknown normalizer {normalizer!r}")
+    d = x.shape[1]
+    omega = rng_util.normal(key, (d, size), x.dtype)
+    q = mdot(x, omega)
+
+    def norm(m):
+        if normalizer == "lu":
+            return lu_pl(m)  # (rows, min) — P·L, ref: pca.rs:709-713
+        if normalizer == "qr":
+            return qr(m)
+        if normalizer == "cholqr2":
+            return cholesky_qr2(m)
+        return m
+
+    for _ in range(n_iter):
+        q = mdot(x.conj().T, norm(q))
+        q = mdot(x, norm(q))
+    return qr(q)
+
+
+def randomized_svd(x, n_components: int, key, *, n_oversamples: int = 10,
+                   n_power_iters: int = 7,
+                   power_iteration_normalizer: str = "lu"):
+    """Truncated randomized SVD (ref: pca.rs:665-686).
+
+    Returns ``(u, sigma, vt)`` with l = n_components + n_oversamples
+    columns/rows (the caller truncates to k, as the reference does at
+    pca.rs:544-547).
+    """
+    n_random = n_components + n_oversamples  # ref: pca.rs:679
+    q = randomized_range_finder(
+        x, n_random, n_power_iters, key,
+        normalizer=power_iteration_normalizer,
+    )
+    b = mdot(q.conj().T, x)  # (l, d) — ref: pca.rs:681
+    u_b, sigma, vt = svddc(b)  # ref: pca.rs:682
+    u = mdot(q, u_b)  # ref: pca.rs:683
+    u, vt = svd_flip(u, vt)  # ref: pca.rs:684
+    return u, sigma, vt
+
+
+class RandomizedPca:
+    """Halko randomized-SVD PCA (ref: pca.rs:317-551).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu import RandomizedPca
+    >>> x = np.array([[0., 0.], [3., 4.], [6., 8.]])
+    >>> y = RandomizedPca(1, seed=1234567891011121314).fit_transform(x)
+    >>> bool(abs(abs(y[0, 0]) - 5.0) < 1e-8)
+    True
+    """
+
+    def __init__(self, n_components: int, *, seed: int | None = None,
+                 key=None, centering: bool = True, n_oversamples: int = 10,
+                 n_power_iters: int = 7,
+                 power_iteration_normalizer: str = "lu"):
+        if n_components < 0:
+            raise InvalidInput("n_components must be non-negative")
+        self._n_components = int(n_components)
+        self._centering = bool(centering)
+        self._n_oversamples = int(n_oversamples)
+        self._n_power_iters = int(n_power_iters)
+        self._normalizer = power_iteration_normalizer
+        if key is not None:
+            self._key = key
+        else:
+            # ref: pca.rs:342-359 — explicit u128 seed, else random seed.
+            seed = rng_util.random_seed() if seed is None else seed
+            self._key = rng_util.key_from_seed(seed)
+        self._components = None
+        self._means = None
+        self._singular = None
+        self._total_variance = None
+        self._n_samples = 0
+
+    # Constructors mirroring the reference (pca.rs:342-381).
+    @classmethod
+    def with_seed(cls, n_components: int, seed: int) -> "RandomizedPca":
+        return cls(n_components, seed=seed)
+
+    @classmethod
+    def with_key(cls, n_components: int, key) -> "RandomizedPca":
+        return cls(n_components, key=key)
+
+    # -- accessors (ref: pca.rs:390-419) --------------------------------
+    def components(self):
+        return self._components
+
+    def mean(self):
+        return self._means
+
+    def n_components(self) -> int:
+        return self._n_components
+
+    def singular_values(self):
+        return self._singular
+
+    def explained_variance_ratio(self):
+        """σᵢ²/‖X−μ‖²_F (ref: pca.rs:414-419 with pca.rs:533)."""
+        var = self._singular * self._singular
+        return var / self._total_variance
+
+    components_ = property(lambda self: self._components)
+    mean_ = property(lambda self: self._means)
+    singular_values_ = property(lambda self: self._singular)
+
+    @property
+    def explained_variance_ratio_(self):
+        return self.explained_variance_ratio()
+
+    # -- fitting (ref: pca.rs:430-550) ----------------------------------
+    def fit(self, x) -> "RandomizedPca":
+        self._inner_fit(_common.as_matrix(x))
+        return self
+
+    def transform(self, x):
+        return _common.transform(
+            _common.as_matrix(x), self._components, self._means,
+            self._centering,
+        )
+
+    def fit_transform(self, x):
+        x = _common.as_matrix(x)
+        u = self._inner_fit(x)
+        return _common.transform_with_u(
+            u, self._singular_full, self._n_components
+        )
+
+    def inverse_transform(self, y):
+        return _common.inverse_transform(
+            y, self._components, self._means, self._centering
+        )
+
+    def _inner_fit(self, x):
+        k = self._n_components
+        _common.check_min_dims(x, k)
+        n, d = x.shape
+
+        if n == 0:
+            self._singular_full = jnp.zeros((0,), _real_dtype(x.dtype))
+            return jnp.zeros((0, d), x.dtype)
+
+        if self._centering:
+            means = jnp.mean(x, axis=0)
+            xc = x - means
+        else:
+            means = jnp.zeros((d,), x.dtype)
+            xc = x
+
+        # Successive fits consume successive subkeys — the stateful-RNG
+        # contract of the reference (its PCG advances across fits).
+        self._key, subkey = jax.random.split(self._key)
+        u, sigma, vt = randomized_svd(
+            xc, k, subkey,
+            n_oversamples=self._n_oversamples,
+            n_power_iters=self._n_power_iters,
+            power_iteration_normalizer=self._normalizer,
+        )
+        # Frobenius² of the centered data, NOT σ·σ (ref: pca.rs:533).
+        self._total_variance = jnp.sum(jnp.abs(xc) ** 2)
+        self._components = vt[:k, :]
+        self._n_samples = n
+        self._means = means
+        self._singular = sigma[:k]
+        self._singular_full = sigma
+        return u
+
+
+class RandomizedPcaBuilder:
+    """Builder mirroring ``RandomizedPcaBuilder`` (ref: pca.rs:564-663).
+
+    >>> from petal_decomposition_tpu import RandomizedPcaBuilder
+    >>> pca = RandomizedPcaBuilder(1).seed(1234567891011121314).build()
+    """
+
+    def __init__(self, n_components: int):
+        self._n_components = n_components
+        self._seed = None
+        self._key = None
+        self._centering = True
+        self._n_oversamples = 10
+        self._n_power_iters = 7
+        self._normalizer = "lu"
+
+    @classmethod
+    def new(cls, n_components: int) -> "RandomizedPcaBuilder":
+        return cls(n_components)
+
+    @classmethod
+    def with_key(cls, key, n_components: int) -> "RandomizedPcaBuilder":
+        b = cls(n_components)
+        b._key = key
+        return b
+
+    def seed(self, seed: int) -> "RandomizedPcaBuilder":
+        self._seed = seed
+        return self
+
+    def centering(self, centering: bool) -> "RandomizedPcaBuilder":
+        self._centering = centering
+        return self
+
+    def n_oversamples(self, n: int) -> "RandomizedPcaBuilder":
+        self._n_oversamples = n
+        return self
+
+    def n_power_iters(self, n: int) -> "RandomizedPcaBuilder":
+        self._n_power_iters = n
+        return self
+
+    def power_iteration_normalizer(self, norm: str) -> "RandomizedPcaBuilder":
+        self._normalizer = norm
+        return self
+
+    def build(self) -> RandomizedPca:
+        return RandomizedPca(
+            self._n_components,
+            seed=self._seed,
+            key=self._key,
+            centering=self._centering,
+            n_oversamples=self._n_oversamples,
+            n_power_iters=self._n_power_iters,
+            power_iteration_normalizer=self._normalizer,
+        )

@@ -1,0 +1,225 @@
+"""Linalg abstraction layer — the TPU analogue of the reference's L2.
+
+The reference wraps raw LAPACK behind safe functions ``eigh`` / ``svd`` /
+``svddc`` / ``qr`` (ref: src/linalg.rs:39-147).  Here the same surface
+dispatches between two interchangeable implementations:
+
+* the in-house Jacobi solvers (:mod:`.jacobi`) — full working-precision
+  accuracy on TPU, required for the f64 1e-10 parity band;
+* XLA's built-in lowerings — MXU-optimized, used for f32 where their
+  ~1e-7 vector accuracy sits at the dtype noise floor anyway.
+
+Semantic notes vs the reference:
+
+* ``svd`` returns the *thin* factorization.  The reference's ``gesvd``
+  materializes a full m×m U (linalg.rs:85) but every consumer only reads
+  the first min(m,n) columns (``transform_with_u`` slices ``[:, :k]``,
+  pca.rs:772; ``svd_flip`` pairs U columns with Vᵀ rows, stopping at
+  min(m,n), pca.rs:819) — thin U preserves all user-visible outputs and
+  is the only scalable choice on TPU.
+* ``qr`` matches reference semantics (economy Q, linalg.rs:127-147) but
+  not its LQ-of-transpose sign convention; Q is used strictly as an
+  orthonormal range basis so any column-sign/rotation difference cancels
+  in ``QᵀX`` / ``Q·U_B``.
+* ``lu_pl`` reproduces the ``lair`` LU → P·L normalization used between
+  the Halko power iterations (ref: pca.rs:709-713) as a pure-JAX blocked
+  partial-pivot elimination (XLA's own LU is f32-only on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..errors import LinalgError
+from .jacobi import jacobi_eigh, jacobi_svd
+
+__all__ = [
+    "svd",
+    "svddc",
+    "eigh",
+    "qr",
+    "cholesky_qr2",
+    "lu_pl",
+    "svd_flip",
+    "mdot",
+]
+
+
+def mdot(a, b):
+    """Matmul at the configured precision (default ``highest``: keeps f32
+    matmuls in true f32 — TPU's default bf16 path loses ~3 digits)."""
+    return jnp.dot(a, b, precision=config.matmul_precision)
+
+
+def _is_high_precision_dtype(dtype) -> bool:
+    return jnp.dtype(dtype) in (jnp.float64, jnp.complex128)
+
+
+def _use_jacobi(dtype) -> bool:
+    backend = config.linalg_backend
+    if backend == "jacobi":
+        return True
+    if backend == "xla":
+        return False
+    return _is_high_precision_dtype(dtype)
+
+
+def _check_converged(off, tol: float, what: str) -> None:
+    if config.check_convergence and float(off) > tol:
+        # LAPACK info != 0 analogue (ref: linalg.rs:84, 115: "did not
+        # converge").
+        raise LinalgError(f"{what} did not converge")
+
+
+def svd(a, compute_vt: bool = True):
+    """Thin SVD ``a = U diag(s) Vᵀ`` (reference ``svd``/gesvd,
+    linalg.rs:70-91).
+
+    Returns ``(u, s, vt)`` with u: (m, k), s: (k,) descending, vt: (k, n)
+    or ``None``; k = min(m, n).
+    """
+    a = jnp.asarray(a)
+    if _use_jacobi(a.dtype):
+        u, s, vt, off, _ = jacobi_svd(a, compute_v=True)
+        tol = float(jnp.finfo(s.dtype).eps) * (max(a.shape) ** 0.5) * 4
+        _check_converged(off, tol, "singular value decomposition")
+    else:
+        u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    if not compute_vt:
+        vt = None
+    return u, s, vt
+
+
+def svddc(a):
+    """Economy SVD of a small projected matrix (reference ``svddc``/gesdd,
+    linalg.rs:101-122).  Same contract as :func:`svd` but always returns
+    vt."""
+    return svd(a, compute_vt=True)
+
+
+def eigh(a):
+    """Hermitian eigendecomposition with *ascending* eigenvalues — the
+    LAPACK ``?syev``/``?heev`` convention (reference linalg.rs:39-60).
+
+    Returns ``(w, v)``; eigenvectors are the columns of ``v``.
+    """
+    a = jnp.asarray(a)
+    if _use_jacobi(a.dtype):
+        w, v, off, _ = jacobi_eigh(a)
+        tol = float(jnp.finfo(w.dtype).eps) * (a.shape[0] ** 0.5) * 4
+        _check_converged(off, tol, "eigendecomposition")
+        return w, v
+    return jnp.linalg.eigh(a)
+
+
+def qr(a):
+    """Economy QR: orthonormal basis of range(a) (reference linalg.rs:127-147,
+    which computes it via LQ of the transpose).  Returns Q of shape
+    (m, min(m, n))."""
+    q, _ = jnp.linalg.qr(jnp.asarray(a), mode="reduced")
+    return q
+
+
+def cholesky_qr2(a):
+    """Tall-skinny orthonormalization via CholeskyQR2 — the TPU-native QR.
+
+    Two rounds of ``Q = A·chol(AᵀA)⁻ᵀ``; all FLOPs are MXU matmuls and the
+    only cross-row dependence is the k×k Gram matrix, which becomes a
+    single ``psum`` under row sharding.  Orthonormal to working precision
+    for cond(A) ≲ 1/√eps, which holds for every use here (the inputs are
+    LU/QR-normalized power-iteration panels).
+    """
+    a = jnp.asarray(a)
+
+    def one_round(x):
+        g = mdot(x.conj().T, x)
+        # Tiny diagonal lift guards exactly rank-deficient panels.
+        scale = jnp.real(jnp.trace(g)) / g.shape[0]
+        lift = jnp.finfo(g.dtype).eps * jnp.maximum(scale, 1e-30)
+        g = g + lift * jnp.eye(g.shape[0], dtype=g.dtype)
+        r = jnp.linalg.cholesky(g).conj().T  # upper triangular
+        return jax.scipy.linalg.solve_triangular(
+            r.conj().T, x.conj().T, lower=True
+        ).conj().T
+
+    return one_round(one_round(a))
+
+
+@partial(jax.jit)
+def _lu_pl_core(a):
+    m, n = a.shape
+    k = min(m, n)
+    perm = jnp.arange(m)
+    rows = jnp.arange(m)
+    cols = jnp.arange(n)
+
+    def body(j, carry):
+        a, perm = carry
+        col = a[:, j]
+        mag = jnp.where(rows >= j, jnp.abs(col), -jnp.inf)
+        piv = jnp.argmax(mag)
+        # Swap rows j and piv (in both the matrix and the permutation).
+        rj, rp = a[j, :], a[piv, :]
+        a = a.at[j, :].set(rp).at[piv, :].set(rj)
+        pj, pp = perm[j], perm[piv]
+        perm = perm.at[j].set(pp).at[piv].set(pj)
+        pivot = a[j, j]
+        safe = jnp.where(pivot == 0, 1, pivot)
+        factors = jnp.where(rows > j, a[:, j] / safe, 0)
+        # Update only the trailing columns; columns < j hold stored L
+        # multipliers and must not be touched.
+        urow = jnp.where(cols >= j, a[j, :], 0)
+        a = a - jnp.outer(factors, urow)
+        # Record the multipliers (L entries) in the lower triangle of col j.
+        a = a.at[:, j].set(jnp.where(rows > j, factors, a[:, j]))
+        return a, perm
+
+    a, perm = jax.lax.fori_loop(0, k, body, (a, perm))
+    # L: unit lower-triangular (m × k), in pivoted row order.
+    lower = jnp.tril(a[:, :k], k=-1)
+    l = lower + jnp.eye(m, k, dtype=a.dtype)
+    # P·L scatters L's rows back to their original positions: row perm[i]
+    # of the product is row i of L.
+    pl = jnp.zeros_like(l).at[perm, :].set(l)
+    return pl
+
+
+def lu_pl(a):
+    """Partial-pivot LU, returning the ``P·L`` factor (m × min(m, n)).
+
+    Reproduces ``lair::decomposition::lu::Factorized::into_pl`` as used by
+    the Halko power-iteration normalizer (ref: pca.rs:709-713): ``P·L`` is
+    unit-lower-triangular up to a row permutation, providing a cheap
+    well-conditioned basis for the iterated range.
+    """
+    return _lu_pl_core(jnp.asarray(a))
+
+
+@partial(jax.jit)
+def svd_flip(u, vt):
+    """Deterministic SVD signs (exact port of the reference convention,
+    pca.rs:815-850).
+
+    For each column i of ``u`` (paired with row i of ``vt``): find the
+    entry of maximum absolute value — *first* occurrence wins ties, as in
+    the reference's strict ``>`` scan — and if its real part is negative
+    (or, when the real part is exactly zero, its imaginary part is
+    negative), negate u's column and vt's row.
+    """
+    k = min(u.shape[1], vt.shape[0])
+    ucols = u[:, :k]
+    idx = jnp.argmax(jnp.abs(ucols), axis=0)  # first max, like the ref scan
+    pivots = jnp.take_along_axis(ucols, idx[None, :], axis=0)[0]
+    re = jnp.real(pivots)
+    im = jnp.imag(pivots) if jnp.iscomplexobj(pivots) else jnp.zeros_like(re)
+    # Rust f64::signum: +1 for +0.0; the reference flips only when the
+    # signum is negative.
+    basis = jnp.where(re == 0, im, re)
+    signs = jnp.where(basis < 0, -1.0, 1.0).astype(u.dtype)
+    u = u.at[:, :k].multiply(signs[None, :])
+    vt = vt.at[:k, :].multiply(signs[:, None])
+    return u, vt

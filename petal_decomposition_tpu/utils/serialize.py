@@ -1,0 +1,95 @@
+"""Model persistence.
+
+The reference serializes full model state — including the RNG state, so
+a deserialized model continues the same stream — behind an optional serde
+feature (ref: pca.rs:36-40, 309-315; ica.rs:33-39; Cargo.toml:41-47).
+
+Here every model serializes to a single ``.npz`` archive: arrays (incl.
+the PRNG key data) as npz entries, scalar/config fields in an embedded
+JSON header.  The contract matches the reference's round-trip tests
+(pca.rs:936-947, ica.rs:423-432): a loaded model transforms identically
+and its next fit draws the same random stream.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import jax
+import numpy as np
+
+__all__ = ["save", "load", "to_bytes", "from_bytes"]
+
+_ARRAY_PREFIX = "arr_"
+
+
+def _model_state(model) -> tuple[dict, dict]:
+    """Split a model's ``__dict__`` into (json-able scalars, arrays)."""
+    meta = {"__class__": type(model).__name__}
+    arrays = {}
+    for name, value in vars(model).items():
+        if value is None:
+            meta[name] = None
+        elif isinstance(value, (bool, int, float, str)):
+            meta[name] = value
+        elif isinstance(value, jax.Array) and jax.dtypes.issubdtype(
+            value.dtype, jax.dtypes.prng_key
+        ):
+            arrays[name + "__keydata"] = np.asarray(
+                jax.random.key_data(value)
+            )
+        else:
+            arrays[name] = np.asarray(value)
+    return meta, arrays
+
+
+def to_bytes(model) -> bytes:
+    meta, arrays = _model_state(model)
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        __meta__=np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        ),
+        **arrays,
+    )
+    return buf.getvalue()
+
+
+def from_bytes(data: bytes):
+    from ..models.fast_ica import FastIca
+    from ..models.pca import Pca
+    from ..models.randomized_pca import RandomizedPca
+
+    classes = {c.__name__: c for c in (Pca, RandomizedPca, FastIca)}
+    with np.load(io.BytesIO(data)) as npz:
+        meta = json.loads(bytes(npz["__meta__"].tobytes()).decode("utf-8"))
+        cls = classes[meta.pop("__class__")]
+        model = cls.__new__(cls)
+        for name, value in meta.items():
+            setattr(model, name, value)
+        for name in npz.files:
+            if name == "__meta__":
+                continue
+            if name.endswith("__keydata"):
+                setattr(
+                    model,
+                    name[: -len("__keydata")],
+                    jax.random.wrap_key_data(jax.numpy.asarray(npz[name])),
+                )
+            else:
+                setattr(model, name, jax.numpy.asarray(npz[name]))
+    return model
+
+
+def save(model, path) -> None:
+    """Serialize a fitted (or unfitted) model to ``path`` (.npz)."""
+    with open(path, "wb") as f:
+        f.write(to_bytes(model))
+
+
+def load(path):
+    """Load a model written by :func:`save`."""
+    with open(path, "rb") as f:
+        return from_bytes(f.read())

@@ -1,0 +1,158 @@
+"""FastIca tests — ports of the reference's tests (ica.rs:400-479),
+including the golden numeric kernel tests with 8-decimal expectations."""
+
+import numpy as np
+import pytest
+
+from petal_decomposition_tpu import FastIca, FastIcaBuilder, InvalidInput
+from petal_decomposition_tpu.models.fast_ica import (
+    ica_par,
+    logcosh,
+    symmetric_decorrelation,
+)
+
+RNG_SEED = 1_234_567_891_011_121_314  # ref: ica.rs:405
+
+
+def test_fast_ica_fit_transform_consistency():
+    """ref: ica.rs:407-420 — fit-then-transform equals fit_transform."""
+    x = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, -1.0]])
+    ica = FastIca.with_seed(RNG_SEED)
+    ica.fit(x)
+    result_fit = np.asarray(ica.transform(x))
+    n_iter_1 = ica.n_iter_
+
+    ica2 = FastIca.with_seed(RNG_SEED)
+    result_fit_transform = np.asarray(ica2.fit_transform(x))
+    assert ica2.n_iter_ == n_iter_1
+
+    np.testing.assert_allclose(
+        result_fit, result_fit_transform, atol=1e-12
+    )
+
+
+def test_ica_par_single_iter_golden():
+    """ref: ica.rs:435-444 — exact kernel golden values."""
+    x = np.array([[-0.5, 0.5], [-0.3, 0.3]])
+    w = np.array([[1.0, 2.0], [3.0, 4.0]])
+    y, n = ica_par(x, 0.5, 1, w)
+    y = np.asarray(y)
+    assert abs(y[0, 0] - 0.51449576) < 1e-8
+    assert abs(y[0, 1] - (-0.85749293)) < 1e-8
+    assert abs(y[1, 0] - (-0.85749293)) < 1e-8
+    assert abs(y[1, 1] - (-0.51449576)) < 1e-8
+    assert n == 1
+
+
+def test_ica_par_multi_iter_golden():
+    """ref: ica.rs:447-456 — converges in exactly 6 iterations."""
+    x = np.array([[1.0, -1.0], [0.0, 0.0]])
+    w = np.array([[1.0, 2.0], [3.0, 4.0]])
+    y, n = ica_par(x, 1e-4, 200, w)
+    y = np.asarray(y)
+    assert abs(y[0, 0] - (-0.00172682)) < 1e-8
+    assert abs(y[0, 1] - 0.99999851) < 1e-8
+    assert abs(y[1, 0] - 0.99999851) < 1e-8
+    assert abs(y[1, 1] - 0.00172682) < 1e-8
+    assert n == 6
+
+
+def test_logcosh_golden():
+    """ref: ica.rs:459-468."""
+    x = np.array([[1.0, 2.0], [3.0, 4.0]])
+    g, gp = logcosh(x)
+    g, gp = np.asarray(g), np.asarray(gp)
+    np.testing.assert_allclose(
+        g,
+        [[0.76159416, 0.96402758], [0.99505475, 0.99932930]],
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(gp, [0.24531258, 0.00560349], rtol=1e-6)
+
+
+def test_symmetric_decorrelation_golden():
+    """ref: ica.rs:471-478."""
+    x = np.array([[33.0, 24.0], [48.0, 57.0]])
+    w = np.asarray(symmetric_decorrelation(x))
+    np.testing.assert_allclose(
+        w,
+        [[0.96623494, -0.25766265], [0.25766265, 0.96623494]],
+        rtol=1e-8,
+    )
+
+
+def test_symmetric_decorrelation_orthogonality():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((8, 8))
+    wd = np.asarray(symmetric_decorrelation(w))
+    assert np.abs(wd @ wd.T - np.eye(8)).max() < 1e-10
+
+
+def test_fast_ica_transform_wrong_cols():
+    """ref: ica.rs:124-128."""
+    x = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, -1.0]])
+    ica = FastIca.with_seed(RNG_SEED)
+    ica.fit(x)
+    with pytest.raises(InvalidInput):
+        ica.transform(np.zeros((3, 5)))
+
+
+def test_fast_ica_recovers_sources():
+    """Statistical end-to-end check: unmix two independent non-Gaussian
+    sources from a linear mixture."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    s = np.stack(
+        [np.sign(rng.standard_normal(n)) * rng.standard_normal(n) ** 2,
+         rng.uniform(-1, 1, n)],
+        axis=1,
+    )
+    mixing = np.array([[1.0, 0.5], [0.4, 1.2]])
+    x = s @ mixing.T
+    ica = FastIca.with_seed(RNG_SEED)
+    y = np.asarray(ica.fit_transform(x))
+    # Each recovered component should correlate ~1 with one true source.
+    corr = np.abs(np.corrcoef(y.T, s.T)[:2, 2:])
+    best = corr.max(axis=1)
+    assert np.all(best > 0.95)
+
+
+@pytest.mark.parametrize("fun", ["logcosh", "exp", "cube"])
+def test_fast_ica_contrast_functions(fun):
+    """exp/cube are north-star extensions (SURVEY §5 config table)."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n))], axis=1
+    )
+    x = s @ np.array([[1.0, 0.3], [0.2, 1.0]])
+    ica = FastIcaBuilder().seed(RNG_SEED).fun(fun).build()
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (n, 2)
+    assert ica.n_iter_ >= 1
+
+
+def test_fast_ica_whiten_solver_eigh():
+    """Gram/eigh whitening (the sharded-fit solver) recovers sources."""
+    rng = np.random.default_rng(13)
+    n = 3000
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n))], axis=1
+    )
+    x = s @ np.array([[1.0, 0.6], [0.1, 0.9]])
+    ica = FastIcaBuilder().seed(RNG_SEED).whiten_solver("eigh").build()
+    y = np.asarray(ica.fit_transform(x))
+    corr = np.abs(np.corrcoef(y.T, s.T)[:2, 2:])
+    assert np.all(corr.max(axis=1) > 0.95)
+
+
+def test_fast_ica_more_features_than_samples():
+    """n_features > n_samples: the reference has latent UB here (SURVEY
+    C13); our whitening fills all columns and must produce finite
+    results."""
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((5, 12))
+    ica = FastIca.with_seed(RNG_SEED)
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (5, 5)  # k = min(n, d)
+    assert np.all(np.isfinite(y))

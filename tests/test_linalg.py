@@ -1,0 +1,153 @@
+"""Linalg-core tests: the L2 layer (SURVEY §2 C7/C8 analogues).
+
+Backends are exercised explicitly: the Jacobi solvers are what runs on
+TPU for f64, so they are tested on CPU here against numpy ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from petal_decomposition_tpu import config
+from petal_decomposition_tpu.ops.jacobi import (
+    jacobi_eigh,
+    jacobi_svd,
+    round_robin_pairings,
+)
+from petal_decomposition_tpu.ops.linalg import (
+    cholesky_qr2,
+    eigh,
+    lu_pl,
+    qr,
+    svd,
+    svd_flip,
+)
+
+
+def test_round_robin_covers_all_pairs():
+    for n in (2, 4, 8, 10):
+        rounds = round_robin_pairings(n)
+        assert rounds.shape == (n - 1, n // 2, 2)
+        seen = set()
+        for rnd in rounds:
+            idx = set()
+            for p, q in rnd:
+                assert p != q
+                idx.update((int(p), int(q)))
+                seen.add(frozenset((int(p), int(q))))
+            assert idx == set(range(n))
+        assert len(seen) == n * (n - 1) // 2
+
+
+@pytest.mark.parametrize("shape", [(50, 8), (8, 50), (33, 33), (1, 2), (3, 2)])
+@pytest.mark.parametrize("update", ["matmul", "scatter"])
+def test_jacobi_svd_f64(shape, update):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(shape)
+    u, s, vt, off, _ = jacobi_svd(x, update=update)
+    u, s, vt = np.asarray(u), np.asarray(s), np.asarray(vt)
+    k = min(shape)
+    assert np.abs((u * s) @ vt - x).max() < 1e-12
+    assert np.abs(u.T @ u - np.eye(k)).max() < 1e-12
+    assert np.abs(vt @ vt.T - np.eye(k)).max() < 1e-12
+    sn = np.linalg.svd(x, compute_uv=False)
+    assert np.abs(s - sn).max() < 1e-12
+    assert np.all(np.diff(s) <= 1e-12)  # descending
+
+
+def test_jacobi_svd_complex():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((20, 7)) + 1j * rng.standard_normal((20, 7))
+    u, s, vt, _, _ = jacobi_svd(x)
+    u, s, vt = np.asarray(u), np.asarray(s), np.asarray(vt)
+    assert np.abs((u * s) @ vt - x).max() < 1e-12
+    assert np.abs(u.conj().T @ u - np.eye(7)).max() < 1e-12
+
+
+def test_jacobi_svd_zero_matrix():
+    u, s, vt, _, _ = jacobi_svd(np.zeros((3, 2)))
+    assert np.all(np.asarray(s) == 0)
+    assert np.all(np.isfinite(np.asarray(u)))
+
+
+def test_jacobi_eigh_f64():
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((17, 17))
+    a = a + a.T
+    w, v, off, _ = jacobi_eigh(a)
+    w, v = np.asarray(w), np.asarray(v)
+    wn = np.linalg.eigvalsh(a)
+    assert np.abs(w - wn).max() < 1e-12
+    assert np.abs(v @ np.diag(w) @ v.T - a).max() < 1e-12
+    assert np.all(np.diff(w) >= -1e-12)  # ascending (LAPACK convention)
+
+
+def test_jacobi_eigh_complex():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((9, 9)) + 1j * rng.standard_normal((9, 9))
+    a = a + a.conj().T
+    w, v, _, _ = jacobi_eigh(a)
+    w, v = np.asarray(w), np.asarray(v)
+    assert np.abs(v @ np.diag(w) @ v.conj().T - a).max() < 1e-11
+
+
+@pytest.mark.parametrize("backend", ["jacobi", "xla"])
+def test_svd_dispatch(backend):
+    old = config.linalg_backend
+    config.linalg_backend = backend
+    try:
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((40, 12))
+        u, s, vt = svd(x)
+        recon = np.asarray(u) * np.asarray(s) @ np.asarray(vt)
+        assert np.abs(recon - x).max() < 1e-10
+    finally:
+        config.linalg_backend = old
+
+
+def test_eigh_dispatch_ascending():
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((8, 8))
+    a = a @ a.T
+    w, v = eigh(a)
+    w = np.asarray(w)
+    assert np.all(np.diff(w) >= -1e-12)
+
+
+@pytest.mark.parametrize("shape", [(10, 4), (4, 10), (8, 8), (100, 12)])
+def test_lu_pl_matches_scipy(shape):
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(6)
+    a = rng.standard_normal(shape)
+    pl = np.asarray(lu_pl(a))
+    p, l, _ = sla.lu(a)
+    assert np.abs(pl - p @ l).max() < 1e-12
+
+
+def test_cholesky_qr2():
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((200, 16))
+    q = np.asarray(cholesky_qr2(a))
+    assert np.abs(q.T @ q - np.eye(16)).max() < 1e-13
+    # Same column space as a
+    assert np.abs(q @ (q.T @ a) - a).max() < 1e-12
+
+
+def test_qr_economy():
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((30, 40))
+    q = np.asarray(qr(a))
+    assert q.shape == (30, 30)
+
+
+def test_svd_flip_reference_golden():
+    """Exact golden test from the reference (pca.rs:1043-1050)."""
+    u = np.array([[2.0, -1.0, 3.0], [-1.0, -3.0, 2.0]])
+    v = np.array([[1.0, 1.0], [-2.0, 2.0], [3.0, -3.0]])
+    uf, vf = svd_flip(u, v)
+    np.testing.assert_array_equal(
+        np.asarray(uf), [[2.0, 1.0, 3.0], [-1.0, 3.0, 2.0]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vf), [[1.0, 1.0], [2.0, -2.0], [3.0, -3.0]]
+    )

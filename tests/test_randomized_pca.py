@@ -1,0 +1,148 @@
+"""RandomizedPca tests — ports of the reference's tests (pca.rs:949-1041)."""
+
+import numpy as np
+import pytest
+
+from petal_decomposition_tpu import (
+    InvalidInput,
+    Pca,
+    RandomizedPca,
+    RandomizedPcaBuilder,
+)
+
+RNG_SEED = 1_234_567_891_011_121_314  # ref: pca.rs:860
+
+
+def test_randomized_pca_golden():
+    """ref: pca.rs:950-970 — collinear matrix projects to ±5/0."""
+    x = np.array([[0.0, 0.0], [3.0, 4.0], [6.0, 8.0]])
+    pca = RandomizedPca.with_seed(1, RNG_SEED)
+    assert pca.n_components() == 1
+
+    pca.fit(x)
+    y = np.asarray(pca.transform(x))
+    assert abs(abs(y[0, 0]) - 5.0) < 1e-10
+    assert abs(y[1, 0]) < 1e-10
+    assert abs(abs(y[2, 0]) - 5.0) < 1e-10
+    z = np.asarray(pca.inverse_transform(y))
+    assert np.abs(z - x).max() < 1e-10
+
+    pca = RandomizedPca(1)  # random seed
+    y = np.asarray(pca.fit_transform(x))
+    assert abs(abs(y[0, 0]) - 5.0) < 1e-10
+    assert abs(y[1, 0]) < 1e-10
+    assert abs(abs(y[2, 0]) - 5.0) < 1e-10
+
+
+def test_randomized_pca_explained_variance_ratio():
+    """ref: pca.rs:973-987."""
+    x = np.array(
+        [
+            [-1.0, -1.0],
+            [-2.0, -1.0],
+            [-3.0, -2.0],
+            [1.0, 1.0],
+            [2.0, 1.0],
+            [3.0, 2.0],
+        ]
+    )
+    pca = RandomizedPca(2)
+    pca.fit(x)
+    ratio = np.asarray(pca.explained_variance_ratio())
+    assert ratio[0] > 0.99244
+    assert ratio[1] < 0.00756
+
+
+def test_randomized_vs_exact_equivalence():
+    """ref: pca.rs:989-1027 — 5% relative agreement on 100×80 Gaussian."""
+    rng = np.random.default_rng(RNG_SEED % 2**63)
+    x = rng.standard_normal((100, 80))
+
+    pca = Pca(2)
+    pca_rand = RandomizedPca.with_seed(2, RNG_SEED)
+    pca.fit(x)
+    pca_rand.fit(x)
+
+    r_exact = np.asarray(pca.explained_variance_ratio())
+    r_rand = np.asarray(pca_rand.explained_variance_ratio())
+    np.testing.assert_allclose(r_rand, r_exact, rtol=0.05)
+
+    s_exact = np.asarray(pca.singular_values())
+    s_rand = np.asarray(pca_rand.singular_values())
+    np.testing.assert_allclose(s_rand, s_exact, rtol=0.05)
+
+
+@pytest.mark.parametrize("normalizer", ["lu", "qr", "cholqr2", "none"])
+def test_power_iteration_normalizers(normalizer):
+    """All normalizers recover a low-rank spectrum accurately."""
+    rng = np.random.default_rng(9)
+    # Low-rank + noise: randomized SVD should nail the top singular values
+    u = rng.standard_normal((300, 4))
+    v = rng.standard_normal((4, 50))
+    x = u @ np.diag([100.0, 50.0, 20.0, 10.0]) @ v[:4]
+    x += 0.01 * rng.standard_normal(x.shape)
+
+    n_iters = 7 if normalizer != "none" else 2  # unnormalized overflows
+    pca = RandomizedPcaBuilder(4).seed(RNG_SEED).power_iteration_normalizer(
+        normalizer
+    ).n_power_iters(n_iters).build()
+    pca.fit(x)
+    exact = Pca(4).fit(x)
+    np.testing.assert_allclose(
+        np.asarray(pca.singular_values()),
+        np.asarray(exact.singular_values()),
+        rtol=1e-6,
+    )
+
+
+def test_randomized_pca_deterministic_given_seed():
+    x = np.random.default_rng(0).standard_normal((40, 20))
+    y1 = np.asarray(RandomizedPca.with_seed(3, RNG_SEED).fit_transform(x))
+    y2 = np.asarray(RandomizedPca.with_seed(3, RNG_SEED).fit_transform(x))
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_randomized_pca_successive_fits_advance_stream():
+    """The RNG is stateful across fits, like the reference's PCG."""
+    x = np.random.default_rng(0).standard_normal((40, 20))
+    import jax
+
+    pca = RandomizedPca.with_seed(3, RNG_SEED)
+    pca.fit(x)
+    k1 = np.asarray(jax.random.key_data(pca._key))
+    pca.fit(x)
+    k2 = np.asarray(jax.random.key_data(pca._key))
+    assert not np.array_equal(k1, k2)
+
+
+def test_randomized_pca_fit_transform_equals_fit_then_transform():
+    x = np.random.default_rng(5).standard_normal((60, 12))
+    pca1 = RandomizedPca.with_seed(4, RNG_SEED)
+    y1 = np.asarray(pca1.fit_transform(x))
+    pca2 = RandomizedPca.with_seed(4, RNG_SEED)
+    pca2.fit(x)
+    y2 = np.asarray(pca2.transform(x))
+    assert np.abs(y1 - y2).max() < 1e-9
+
+
+def test_randomized_pca_invalid_dims():
+    with pytest.raises(InvalidInput):
+        RandomizedPca(5).fit(np.zeros((3, 3)))
+
+
+def test_randomized_pca_oversample_exceeds_dims():
+    """k + 10 > min(m, n): oversampling must cap gracefully, like the
+    reference's LU/QR shape flow (pca.rs:707-716)."""
+    x = np.array([[0.0, 0.0], [3.0, 4.0], [6.0, 8.0]])
+    pca = RandomizedPca.with_seed(2, RNG_SEED)
+    pca.fit(x)
+    assert np.asarray(pca.singular_values()).shape == (2,)
+
+
+def test_randomized_pca_without_centering():
+    x = np.array([[0.0, 0.0], [3.0, 4.0], [6.0, 8.0]])
+    pca = RandomizedPcaBuilder(1).seed(RNG_SEED).centering(False).build()
+    y = np.asarray(pca.fit_transform(x))
+    assert abs(abs(y[0, 0]) - 0.0) < 1e-10
+    assert abs(abs(y[1, 0]) - 5.0) < 1e-10
+    assert abs(abs(y[2, 0]) - 10.0) < 1e-10
