@@ -1,0 +1,131 @@
+"""Benchmark driver: flagship RandomizedPca fit on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no benchmark numbers (BASELINE.md), so
+``vs_baseline`` is the speedup of the TPU fit over the same Halko
+pipeline run with numpy/BLAS on the host CPU — i.e. over a
+reference-equivalent LAPACK implementation — normalized to the same
+number of rows.
+
+Config follows BASELINE eval config 2/4 scaled to one chip:
+tall-skinny f32 data, k=32, oversampling 10, 2 power iterations,
+CholeskyQR2 normalization (matmul-only pipeline; on one chip every op is
+an MXU matmul, HBM-bandwidth bound at k+10=42 sketch columns).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_ROWS = 1_000_000
+N_COLS = 1024
+K = 32
+OVERSAMPLES = 10
+POWER_ITERS = 2
+CPU_SAMPLE_ROWS = 100_000
+
+
+def _tpu_fit_seconds() -> tuple[float, dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.parallel.distributed import (
+        randomized_pca_fit,
+    )
+    from petal_decomposition_tpu.utils.rng import key_from_seed
+
+    dev = jax.devices()[0]
+    key = key_from_seed(1_234_567_891_011_121_314)
+    x = jax.device_put(
+        jax.random.normal(jax.random.key(0), (N_ROWS, N_COLS), jnp.float32),
+        dev,
+    )
+    x.block_until_ready()
+
+    def run():
+        st = randomized_pca_fit(
+            x,
+            key,
+            n_components=K,
+            centering=True,
+            n_oversamples=OVERSAMPLES,
+            n_power_iters=POWER_ITERS,
+            normalizer="cholqr2",
+        )
+        # Materialize a small output on the host: block_until_ready alone
+        # does not flush the remote-TPU execution queue in this stack.
+        np.asarray(st["sigma"])
+        return st
+
+    st = run()  # warmup/compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    info = {
+        "sigma_head": np.asarray(st["sigma"][:3]).tolist(),
+        "device": str(dev),
+    }
+    return dt, info
+
+
+def _cpu_baseline_seconds() -> float:
+    """Same Halko pipeline in numpy/BLAS on the host, scaled to N_ROWS."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((CPU_SAMPLE_ROWS, N_COLS)).astype(np.float32)
+    l = K + OVERSAMPLES
+
+    t0 = time.perf_counter()
+    mu = x.mean(axis=0)
+    xc = x - mu
+    omega = rng.standard_normal((N_COLS, l)).astype(np.float32)
+    q = xc @ omega
+    for _ in range(POWER_ITERS):
+        q, _ = np.linalg.qr(q)
+        q = xc.T @ q
+        q, _ = np.linalg.qr(q)
+        q = xc @ q
+    q, _ = np.linalg.qr(q)
+    b = q.T @ xc
+    u_b, s, vt = np.linalg.svd(b, full_matrices=False)
+    _ = q @ u_b
+    dt = time.perf_counter() - t0
+    return dt * (N_ROWS / CPU_SAMPLE_ROWS)
+
+
+def main() -> None:
+    tpu_s, info = _tpu_fit_seconds()
+    cpu_s = _cpu_baseline_seconds()
+
+    # Rough data-movement model for the fit: the sketch + 2×2 power-iter
+    # passes + projection each stream the full matrix from HBM.
+    passes = 2 + 2 * POWER_ITERS
+    bytes_moved = passes * N_ROWS * N_COLS * 4
+    hbm_gbps = bytes_moved / tpu_s / 1e9
+
+    result = {
+        "metric": f"randomized_pca_fit_{N_ROWS // 1000}kx{N_COLS}_f32",
+        "value": round(tpu_s * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(cpu_s / tpu_s, 2),
+        "detail": {
+            "cpu_baseline_est_ms": round(cpu_s * 1e3, 1),
+            "effective_hbm_gbps": round(hbm_gbps, 1),
+            "k": K,
+            "power_iters": POWER_ITERS,
+            "device": info["device"],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,11 +32,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import config
 from ..errors import InvalidInput
 from ..ops import linalg as _linalg
-from ..ops.jacobi import jacobi_eigh
-from ..ops.linalg import eigh, mdot, svd
+from ..ops.linalg import eigh, eigh_jit, mdot, svd
 from ..utils import rng as rng_util
 from . import _common
 
@@ -51,29 +49,37 @@ __all__ = [
 _CONTRASTS = ("logcosh", "exp", "cube")
 
 
-def _eigh_in_jit(a):
-    """Backend-dispatched eigh safe to call under ``jit`` (no host-side
-    convergence check; dispatch is by dtype, a trace-time constant)."""
-    if config.linalg_backend == "xla":
-        return jnp.linalg.eigh(a)
-    if config.linalg_backend == "jacobi" or a.dtype in (
-        jnp.float64,
-        jnp.complex128,
-    ):
-        w, v, _, _ = jacobi_eigh(a)
-        return w, v
-    return jnp.linalg.eigh(a)
-
-
 def symmetric_decorrelation(w):
     """W ← (W·Wᵀ)^(−1/2)·W via eigendecomposition (ref: ica.rs:363-381).
 
     ``eigh(W·Wᵀ) = E·diag(λ)·Eᵀ``; returns ``E·diag(1/√λ)·Eᵀ·W``.
     """
     w = jnp.asarray(w)
-    e, v = _eigh_in_jit(mdot(w, w.conj().T))
+    e, v = eigh_jit(mdot(w, w.conj().T))
     inv_sqrt = (1.0 / jnp.sqrt(e)).astype(w.dtype)
     return mdot(mdot(v * inv_sqrt[None, :], v.conj().T), w)
+
+
+def _contrast_sums(fun: str, wx):
+    """G and the per-row *sum* of g′(wx) for the given contrast."""
+    if fun == "logcosh":
+        g = jnp.tanh(wx)
+        s = jnp.sum(1.0 - g * g, axis=1)
+    elif fun == "exp":
+        e = jnp.exp(-(wx * wx) / 2.0)
+        g = wx * e
+        s = jnp.sum((1.0 - wx * wx) * e, axis=1)
+    elif fun == "cube":
+        g = wx ** 3
+        s = jnp.sum(3.0 * wx * wx, axis=1)
+    else:
+        raise ValueError(f"unknown contrast function {fun!r}")
+    return g, s
+
+
+# g′(0) per contrast: padded (zero) sample columns each contribute this
+# to the g′ row-sum and are subtracted out in the masked iteration.
+_GPRIME_AT_ZERO = {"logcosh": 1.0, "exp": 1.0, "cube": 0.0}
 
 
 def logcosh(x):
@@ -82,39 +88,30 @@ def logcosh(x):
     Returns ``(tanh(x), mean(1 − tanh²(x), axis=1))`` — G and the
     per-row mean of g′.
     """
-    g = jnp.tanh(x)
-    g_prime = jnp.mean(1.0 - g * g, axis=1)
-    return g, g_prime
+    g, s = _contrast_sums("logcosh", jnp.asarray(x))
+    return g, s / x.shape[1]
 
 
-def _exp_contrast(x):
-    e = jnp.exp(-(x * x) / 2.0)
-    return x * e, jnp.mean((1.0 - x * x) * e, axis=1)
+@partial(jax.jit, static_argnames=("max_iter", "fun", "n_valid"))
+def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
+                  n_valid: int | None = None):
+    """The FastICA fixed-point iteration (ref: ica.rs:319-361).
 
-
-def _cube_contrast(x):
-    return x ** 3, jnp.mean(3.0 * x * x, axis=1)
-
-
-def _contrast_fn(name: str):
-    if name == "logcosh":
-        return logcosh
-    if name == "exp":
-        return _exp_contrast
-    if name == "cube":
-        return _cube_contrast
-    raise ValueError(f"unknown contrast function {name!r}")
-
-
-@partial(jax.jit, static_argnames=("max_iter", "fun"))
-def _ica_par_core(x, tol, max_iter: int, w_init, fun: str):
-    contrast = _contrast_fn(fun)
+    ``n_valid`` (static): number of real sample columns when ``x`` is
+    zero-padded for even sharding; reductions are corrected so padded
+    columns contribute nothing.
+    """
+    n_pad = x.shape[1]
+    n = n_pad if n_valid is None else n_valid
+    pad = n_pad - n
+    g0 = _GPRIME_AT_ZERO[fun]
     w0 = symmetric_decorrelation(w_init)
-    p_inv = 1.0 / x.shape[1]  # ref: ica.rs:330
+    p_inv = 1.0 / n  # ref: ica.rs:330
 
     def body(state):
         w, _, it = state
-        gwtx, g_wtx = contrast(mdot(w, x))  # ref: ica.rs:332
+        gwtx, gsum = _contrast_sums(fun, mdot(w, x))  # ref: ica.rs:332
+        g_wtx = (gsum - pad * g0) * p_inv
         # W1 = symdecorr(G·Xᵀ/p − diag(g′)·W)   (ref: ica.rs:333-343)
         update = mdot(gwtx, x.T) * p_inv - g_wtx[:, None] * w
         w1 = symmetric_decorrelation(update)
@@ -162,11 +159,13 @@ class FastIca:
 
     def __init__(self, *, seed: int | None = None, key=None,
                  fun: str = "logcosh", tol: float = 1e-4,
-                 max_iter: int = 200, whiten_solver: str = "svd"):
+                 max_iter: int = 200, whiten_solver: str = "svd",
+                 mesh=None):
         if fun not in _CONTRASTS:
             raise ValueError(f"unknown contrast function {fun!r}")
         if whiten_solver not in ("svd", "eigh"):
             raise ValueError(f"unknown whiten solver {whiten_solver!r}")
+        self._mesh = mesh
         if key is not None:
             self._key = key
         else:
@@ -224,6 +223,8 @@ class FastIca:
         """Fit, then return ``(components·X_c)ᵀ`` (ref: ica.rs:147-157)."""
         x = _common.as_matrix(x)
         xt_c = self._inner_fit(x)
+        if xt_c is None:  # mesh path: same result via the projection
+            return self.transform(x)
         return mdot(self._components, xt_c).T
 
     def _inner_fit(self, x):
@@ -233,6 +234,23 @@ class FastIca:
         k = min(n, d)  # not user-settable (ica.rs:173)
         if n == 0:
             return jnp.zeros((d, 0), x.dtype)
+
+        if self._mesh is not None:
+            from ..parallel.distributed import fast_ica_fit
+            from ..parallel.mesh import shard_rows_padded
+
+            self._key, subkey = jax.random.split(self._key)
+            x_sh, n_true = shard_rows_padded(x, self._mesh)
+            st = fast_ica_fit(
+                x_sh, subkey,
+                fun=self._fun, tol=self._tol, max_iter=self._max_iter,
+                n_valid=n_true if n_true != x_sh.shape[0] else None,
+            )
+            self._components = st["components"]
+            self._means = st["means"]
+            self._n_iter = int(st["n_iter"])
+            return None  # fit_transform routes through transform()
+
         means = jnp.mean(x, axis=0)
         xt = (x - means).T  # (d, n) — ref: ica.rs:178-188
 
@@ -290,6 +308,7 @@ class FastIcaBuilder:
         self._tol = 1e-4
         self._max_iter = 200
         self._whiten_solver = "svd"
+        self._mesh = None
 
     @classmethod
     def new(cls) -> "FastIcaBuilder":
@@ -321,6 +340,11 @@ class FastIcaBuilder:
         self._whiten_solver = solver
         return self
 
+    def mesh(self, mesh) -> "FastIcaBuilder":
+        """Row-shard fits over the given ``jax.sharding.Mesh``."""
+        self._mesh = mesh
+        return self
+
     def build(self) -> FastIca:
         return FastIca(
             seed=self._seed,
@@ -329,4 +353,5 @@ class FastIcaBuilder:
             tol=self._tol,
             max_iter=self._max_iter,
             whiten_solver=self._whiten_solver,
+            mesh=self._mesh,
         )

@@ -35,11 +35,20 @@ class Pca:
     True
     """
 
-    def __init__(self, n_components: int, *, centering: bool = True):
+    def __init__(self, n_components: int, *, centering: bool = True,
+                 mesh=None, solver: str = "auto"):
         if n_components < 0:
             raise InvalidInput("n_components must be non-negative")
+        if solver not in ("auto", "full", "gram"):
+            raise ValueError(f"unknown solver {solver!r}")
         self._n_components = int(n_components)
         self._centering = bool(centering)
+        self._mesh = mesh
+        # "full": thin SVD of the data (1e-10 parity path).
+        # "gram": covariance eigenproblem — the scalable row-sharded path
+        #   (the reference's full gesvd cannot scale: m×m U, linalg.rs:85).
+        # "auto": gram when a mesh is supplied, else full.
+        self._solver = solver
         self._components = None  # (k, d)
         self._means = None  # (d,)
         self._singular = None  # (k,) real
@@ -115,17 +124,38 @@ class Pca:
             self._singular_full = jnp.zeros((0,), _real_dtype(x.dtype))
             return jnp.zeros((0, d), x.dtype)
 
-        if self._centering:
-            means = jnp.mean(x, axis=0)
-            xc = x - means
-        else:
-            means = jnp.zeros((d,), x.dtype)
-            xc = x
+        use_gram = self._solver == "gram" or (
+            self._solver == "auto" and self._mesh is not None
+        )
+        n_valid = None
+        if self._mesh is not None:
+            from ..parallel.mesh import shard_rows_padded
 
-        u, sigma, vt = svd(xc, compute_vt=True)
-        u, vt = svd_flip(u, vt)
-        # Total variance sums *all* squared singular values (pca.rs:224).
-        self._total_variance = sigma @ sigma
+            x, n_true = shard_rows_padded(x, self._mesh)
+            n_valid = n_true if n_true != x.shape[0] else None
+
+        if use_gram:
+            from ..parallel.distributed import pca_fit_gram
+
+            st = pca_fit_gram(
+                x, centering=self._centering, n_valid=n_valid
+            )
+            u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
+            means = st["means"]
+            self._total_variance = st["total_variance"]
+        else:
+            if self._centering:
+                means = jnp.mean(x, axis=0)
+                xc = x - means
+            else:
+                means = jnp.zeros((d,), x.dtype)
+                xc = x
+            u, sigma, vt = svd(xc, compute_vt=True)
+            u, vt = svd_flip(u, vt)
+            # Total variance sums *all* squared singular values
+            # (pca.rs:224).
+            self._total_variance = sigma @ sigma
+
         self._components = vt[:k, :]
         self._n_samples = n
         self._means = means
@@ -153,6 +183,8 @@ class PcaBuilder:
     def __init__(self, n_components: int):
         self._n_components = n_components
         self._centering = True
+        self._mesh = None
+        self._solver = "auto"
 
     @classmethod
     def new(cls, n_components: int) -> "PcaBuilder":
@@ -162,5 +194,21 @@ class PcaBuilder:
         self._centering = centering
         return self
 
+    def mesh(self, mesh) -> "PcaBuilder":
+        """Row-shard fits over the given ``jax.sharding.Mesh``."""
+        self._mesh = mesh
+        return self
+
+    def solver(self, solver: str) -> "PcaBuilder":
+        """``'full'`` (thin SVD, 1e-10 parity) or ``'gram'`` (covariance
+        eigenproblem, the scalable sharded path)."""
+        self._solver = solver
+        return self
+
     def build(self) -> Pca:
-        return Pca(self._n_components, centering=self._centering)
+        return Pca(
+            self._n_components,
+            centering=self._centering,
+            mesh=self._mesh,
+            solver=self._solver,
+        )

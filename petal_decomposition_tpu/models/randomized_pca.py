@@ -108,13 +108,23 @@ class RandomizedPca:
     def __init__(self, n_components: int, *, seed: int | None = None,
                  key=None, centering: bool = True, n_oversamples: int = 10,
                  n_power_iters: int = 7,
-                 power_iteration_normalizer: str = "lu"):
+                 power_iteration_normalizer: str = "auto", mesh=None):
         if n_components < 0:
             raise InvalidInput("n_components must be non-negative")
+        if power_iteration_normalizer not in ("auto",) + _NORMALIZERS:
+            raise ValueError(
+                f"unknown normalizer {power_iteration_normalizer!r}"
+            )
         self._n_components = int(n_components)
         self._centering = bool(centering)
         self._n_oversamples = int(n_oversamples)
         self._n_power_iters = int(n_power_iters)
+        self._mesh = mesh
+        # "auto" resolves to the reference's LU→P·L on one device
+        # (pca.rs:709-713) and to matmul-only CholeskyQR2 on a mesh,
+        # where LU's sequential pivoting would serialize across shards.
+        if power_iteration_normalizer == "auto":
+            power_iteration_normalizer = "cholqr2" if mesh is not None else "lu"
         self._normalizer = power_iteration_normalizer
         if key is not None:
             self._key = key
@@ -195,6 +205,34 @@ class RandomizedPca:
             self._singular_full = jnp.zeros((0,), _real_dtype(x.dtype))
             return jnp.zeros((0, d), x.dtype)
 
+        # Successive fits consume successive subkeys — the stateful-RNG
+        # contract of the reference (its PCG advances across fits).
+        self._key, subkey = jax.random.split(self._key)
+
+        if self._mesh is not None:
+            from ..parallel.distributed import randomized_pca_fit
+            from ..parallel.mesh import shard_rows_padded
+
+            x_sh, n_true = shard_rows_padded(x, self._mesh)
+            st = randomized_pca_fit(
+                x_sh, subkey,
+                n_components=k,
+                centering=self._centering,
+                n_oversamples=self._n_oversamples,
+                n_power_iters=self._n_power_iters,
+                normalizer=self._normalizer,
+                n_valid=n_true if n_true != x_sh.shape[0] else None,
+            )
+            u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
+            means = st["means"]
+            self._total_variance = st["total_variance"]
+            self._components = vt[:k, :]
+            self._n_samples = n
+            self._means = means
+            self._singular = sigma[:k]
+            self._singular_full = sigma
+            return u
+
         if self._centering:
             means = jnp.mean(x, axis=0)
             xc = x - means
@@ -202,9 +240,6 @@ class RandomizedPca:
             means = jnp.zeros((d,), x.dtype)
             xc = x
 
-        # Successive fits consume successive subkeys — the stateful-RNG
-        # contract of the reference (its PCG advances across fits).
-        self._key, subkey = jax.random.split(self._key)
         u, sigma, vt = randomized_svd(
             xc, k, subkey,
             n_oversamples=self._n_oversamples,
@@ -235,7 +270,8 @@ class RandomizedPcaBuilder:
         self._centering = True
         self._n_oversamples = 10
         self._n_power_iters = 7
-        self._normalizer = "lu"
+        self._normalizer = "auto"
+        self._mesh = None
 
     @classmethod
     def new(cls, n_components: int) -> "RandomizedPcaBuilder":
@@ -267,6 +303,11 @@ class RandomizedPcaBuilder:
         self._normalizer = norm
         return self
 
+    def mesh(self, mesh) -> "RandomizedPcaBuilder":
+        """Row-shard fits over the given ``jax.sharding.Mesh``."""
+        self._mesh = mesh
+        return self
+
     def build(self) -> RandomizedPca:
         return RandomizedPca(
             self._n_components,
@@ -276,4 +317,5 @@ class RandomizedPcaBuilder:
             n_oversamples=self._n_oversamples,
             n_power_iters=self._n_power_iters,
             power_iteration_normalizer=self._normalizer,
+            mesh=self._mesh,
         )

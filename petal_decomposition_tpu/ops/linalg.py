@@ -65,7 +65,12 @@ def _use_jacobi(dtype) -> bool:
         return True
     if backend == "xla":
         return False
-    return _is_high_precision_dtype(dtype)
+    if _is_high_precision_dtype(dtype):
+        return True
+    # f32/c64 SVD: XLA's TPU lowering is unusable in this stack (the
+    # compile helper SIGABRTs on f32 gesvd-equivalents), so every
+    # non-CPU backend routes through Jacobi.  CPU keeps LAPACK.
+    return jax.default_backend() != "cpu"
 
 
 def _check_converged(off, tol: float, what: str) -> None:
@@ -73,6 +78,31 @@ def _check_converged(off, tol: float, what: str) -> None:
         # LAPACK info != 0 analogue (ref: linalg.rs:84, 115: "did not
         # converge").
         raise LinalgError(f"{what} did not converge")
+
+
+def eigh_jit(a):
+    """Backend-dispatched eigh safe to call under ``jit``: no host-side
+    convergence check (dispatch is by dtype, a trace-time constant).
+    Used inside fully-jitted pipelines (ICA iteration, distributed fits)."""
+    if config.linalg_backend == "xla":
+        return jnp.linalg.eigh(a)
+    if config.linalg_backend == "jacobi" or a.dtype in (
+        jnp.float64,
+        jnp.complex128,
+    ):
+        w, v, _, _ = jacobi_eigh(a)
+        return w, v
+    return jnp.linalg.eigh(a)
+
+
+def svd_jit(a, compute_vt: bool = True):
+    """Backend-dispatched thin SVD safe to call under ``jit`` (no host
+    convergence check)."""
+    if _use_jacobi(a.dtype):
+        u, s, vt, _, _ = jacobi_svd(a, compute_v=True)
+    else:
+        u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    return (u, s, vt) if compute_vt else (u, s, None)
 
 
 def svd(a, compute_vt: bool = True):

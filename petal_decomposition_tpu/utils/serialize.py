@@ -29,7 +29,11 @@ def _model_state(model) -> tuple[dict, dict]:
     meta = {"__class__": type(model).__name__}
     arrays = {}
     for name, value in vars(model).items():
-        if value is None:
+        if name == "_mesh":
+            # Device meshes are process-local hardware handles; a loaded
+            # model re-attaches via the builder's .mesh(...) if desired.
+            meta[name] = None
+        elif value is None:
             meta[name] = None
         elif isinstance(value, (bool, int, float, str)):
             meta[name] = value
