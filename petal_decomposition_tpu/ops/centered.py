@@ -1,0 +1,64 @@
+"""Centering-fused contractions.
+
+The reference materializes the centered matrix ``X − 1μᵀ`` before every
+factorization (pca.rs:216-219, 531; ica.rs:178-188) — an extra n×d
+buffer and an extra full HBM pass.  On TPU the mean is a rank-1
+correction that fuses into each matmul algebraically:
+
+    (X − 1μᵀ)·Ω   = X·Ω − 1·(μᵀΩ)
+    (X − 1μᵀ)ᵀ·Q  = XᵀQ − μ·(1ᵀQ)
+    (X − 1μᵀ)ᵀ(X − 1μᵀ) = XᵀX − n·μμᵀ
+    ‖X − 1μᵀ‖²_F  = ‖X‖²_F − n·‖μ‖²
+
+so the data matrix streams from HBM exactly once per contraction and is
+never copied.  (Rounding differs from explicit centering at the eps
+level; the single-device parity paths keep explicit centering.)
+
+``row_mask`` handles zero-padded rows (uneven sharding): products of the
+form X·M pick up ``−μᵀM`` on padded rows from the broadcast term and
+must be re-zeroed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .linalg import mdot
+
+__all__ = [
+    "centered_matmul",
+    "centered_rmatmul",
+    "centered_gram",
+    "centered_sqnorm",
+]
+
+
+def _mask_rows(y, n_valid: int | None):
+    if n_valid is None or n_valid == y.shape[0]:
+        return y
+    mask = (jnp.arange(y.shape[0]) < n_valid)[:, None]
+    return jnp.where(mask, y, 0)
+
+
+def centered_matmul(x, m, means, n_valid: int | None = None):
+    """``(X − 1μᵀ)·M`` without materializing the centered X."""
+    y = mdot(x, m) - mdot(means, m)[None, :]
+    return _mask_rows(y, n_valid)
+
+
+def centered_rmatmul(x, q, means):
+    """``(X − 1μᵀ)ᵀ·Q``.  ``q`` must already be zero on padded rows."""
+    return mdot(x.conj().T, q) - jnp.outer(
+        jnp.conj(means), jnp.sum(q, axis=0)
+    )
+
+
+def centered_gram(x, means, n: int):
+    """``(X − 1μᵀ)ᵀ(X − 1μᵀ) = XᵀX − n·μμᵀ`` (padded rows of X are zero
+    and contribute nothing to either term)."""
+    return mdot(x.conj().T, x) - n * jnp.outer(jnp.conj(means), means)
+
+
+def centered_sqnorm(x, means, n: int):
+    """``‖X − 1μᵀ‖²_F = ‖X‖²_F − n·‖μ‖²``."""
+    return jnp.sum(jnp.abs(x) ** 2) - n * jnp.sum(jnp.abs(means) ** 2)

@@ -15,12 +15,23 @@ The k×k / d×d factorizations (eigh, small SVD) operate on replicated
 post-psum matrices.  No hand-written collectives: the sharding
 annotations on the inputs are the whole distributed programming model.
 
+Mean-centering is fused as a rank-1 correction into every contraction
+(:mod:`..ops.centered`), so the data matrix is never copied and streams
+from HBM exactly once per pass — the reference's explicit ``X − μ``
+materialization (pca.rs:216,531) costs an extra n×d buffer + pass.
+Set ``fuse_centering=False`` for bit-closer agreement with the explicit
+paths.
+
 Exact PCA at scale uses the Gram/eigh path: the reference's full
 ``gesvd`` materializes an m×m U (linalg.rs:85) and cannot scale past one
 host's memory; the Gram path never forms anything larger than d×d +
 the sharded thin U.  (Accuracy trade: singular values through the Gram
 square to ~eps·κ(X)²; the single-device Jacobi path remains the 1e-10
 parity route.)
+
+``n_valid`` (static) supports zero-padded rows for uneven sharding:
+means divide by the true count and every X·M product is re-zeroed on
+padded rows.
 """
 
 from __future__ import annotations
@@ -30,6 +41,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.centered import (
+    centered_gram,
+    centered_matmul,
+    centered_rmatmul,
+    centered_sqnorm,
+)
 from ..ops.linalg import (
     cholesky_qr2,
     eigh_jit,
@@ -47,14 +64,8 @@ __all__ = [
 ]
 
 
-def _center(x, centering: bool, n_valid: int | None = None):
-    """Mean-center with optional padded-row masking.
-
-    When ``x`` carries zero rows appended for even sharding
-    (``n_valid < x.shape[0]``), the mean divides by the true row count
-    and the centered matrix is re-zeroed on padded rows so every
-    downstream contraction (Gram, sketch, projection) ignores them.
-    """
+def _masked_center(x, centering: bool, n_valid: int | None):
+    """Explicit (non-fused) centering with padded-row masking."""
     n = x.shape[0] if n_valid is None else n_valid
     if centering:
         means = jnp.sum(x, axis=0) / n  # padded rows are zeros
@@ -68,8 +79,36 @@ def _center(x, centering: bool, n_valid: int | None = None):
     return means, xc
 
 
-@partial(jax.jit, static_argnames=("centering", "n_valid"))
-def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None):
+def _contractions(x, centering: bool, n_valid: int | None,
+                  fuse_centering: bool):
+    """Returns ``(means, xm, xtm, gram, sqnorm)`` closures over the
+    centered data, fused or explicit."""
+    n = x.shape[0] if n_valid is None else n_valid
+    if fuse_centering:
+        if centering:
+            means = jnp.sum(x, axis=0) / n
+        else:
+            means = jnp.zeros((x.shape[1],), x.dtype)
+        return (
+            means,
+            lambda m: centered_matmul(x, m, means, n_valid),
+            lambda q: centered_rmatmul(x, q, means),
+            lambda: centered_gram(x, means, n),
+            lambda: centered_sqnorm(x, means, n),
+        )
+    means, xc = _masked_center(x, centering, n_valid)
+    return (
+        means,
+        lambda m: mdot(xc, m),
+        lambda q: mdot(xc.conj().T, q),
+        lambda: mdot(xc.conj().T, xc),
+        lambda: jnp.sum(jnp.abs(xc) ** 2),
+    )
+
+
+@partial(jax.jit, static_argnames=("centering", "n_valid", "fuse_centering"))
+def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
+                 fuse_centering: bool = True):
     """Exact PCA via the covariance eigenproblem.
 
     ``C = XᵀX`` (one psum), ``eigh(C)`` replicated, thin
@@ -77,15 +116,18 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None):
     U/σ/Vᵀ reproduce the full-SVD factorization including the
     deterministic ``svd_flip`` signs.
     """
-    n, d = (x.shape[0] if n_valid is None else n_valid), x.shape[1]
-    means, xc = _center(x, centering, n_valid)
-    c = mdot(xc.conj().T, xc)  # (d, d), psum over the sample axis
+    n = x.shape[0] if n_valid is None else n_valid
+    d = x.shape[1]
+    means, xm, _, gram, _ = _contractions(
+        x, centering, n_valid, fuse_centering
+    )
+    c = gram()  # (d, d), psum over the sample axis
     lam, v = eigh_jit(c)  # ascending
     lam = lam[::-1]
     v = v[:, ::-1]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
     inv_sigma = jnp.where(sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1), 0)
-    u = mdot(xc, v) * inv_sigma.astype(xc.dtype)[None, :]  # sharded thin U
+    u = xm(v) * inv_sigma.astype(x.dtype)[None, :]  # sharded thin U
     u, vt = svd_flip(u, v.conj().T)
     k_full = min(n, d)
     return {
@@ -106,21 +148,28 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None):
         "n_power_iters",
         "normalizer",
         "n_valid",
+        "fuse_centering",
     ),
 )
 def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                        n_oversamples: int = 10, n_power_iters: int = 7,
                        normalizer: str = "cholqr2",
-                       n_valid: int | None = None):
+                       n_valid: int | None = None,
+                       fuse_centering: bool = True):
     """Halko randomized SVD as one sharded XLA computation.
 
     Mirrors the single-device pipeline (pca.rs:665-718) with the
     matmul-only CholeskyQR2 as the default normalizer: the only
     cross-shard dependencies per power iteration are two psums of
-    (k+10)-wide Gram matrices riding ICI.
+    (k+10)-wide Gram matrices riding ICI.  With fused centering the
+    n×d data streams from HBM exactly ``2·n_power_iters + 2`` times and
+    is never copied.
     """
-    n, d = (x.shape[0] if n_valid is None else n_valid), x.shape[1]
-    means, xc = _center(x, centering, n_valid)
+    n = x.shape[0] if n_valid is None else n_valid
+    d = x.shape[1]
+    means, xm, xtm, _, sqnorm = _contractions(
+        x, centering, n_valid, fuse_centering
+    )
     l = min(n_components + n_oversamples, n, d)
 
     def norm(m):
@@ -133,12 +182,12 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         return m
 
     omega = rng_util.normal(key, (d, l), x.dtype)
-    q = mdot(xc, omega)  # (n, l) sharded
+    q = xm(omega)  # (n, l) sharded
     for _ in range(n_power_iters):
-        q = mdot(xc.conj().T, norm(q))  # (d, l) replicated (psum)
-        q = mdot(xc, norm(q))  # (n, l) sharded
+        q = xtm(norm(q))  # (d, l) replicated (psum)
+        q = xm(norm(q))  # (n, l) sharded
     q = cholesky_qr2(q) if normalizer != "qr" else norm(q)
-    b = mdot(q.conj().T, xc)  # (l, d) replicated (psum)
+    b = xtm(q).conj().T  # (l, d) replicated: Qᴴ·Xc via one psum
     u_b, sigma, vt = svd_jit(b)
     u = mdot(q, u_b)  # (n, l) sharded
     u, vt = svd_flip(u, vt)
@@ -147,13 +196,15 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         "sigma": sigma,
         "vt": vt,
         "means": means,
-        "total_variance": jnp.sum(jnp.abs(xc) ** 2),
+        "total_variance": sqnorm(),
     }
 
 
-@partial(jax.jit, static_argnames=("fun", "max_iter", "n_valid"))
+@partial(jax.jit, static_argnames=("fun", "max_iter", "n_valid",
+                                   "fuse_centering"))
 def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
-                 max_iter: int = 200, n_valid: int | None = None):
+                 max_iter: int = 200, n_valid: int | None = None,
+                 fuse_centering: bool = True):
     """FastICA with Gram/eigh whitening as one sharded XLA computation.
 
     Whitening reduces over samples once (d×d psum); each ``ica_par``
@@ -162,10 +213,11 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     """
     from ..models.fast_ica import _ica_par_core
 
-    n, d = (x.shape[0] if n_valid is None else n_valid), x.shape[1]
+    n = x.shape[0] if n_valid is None else n_valid
+    d = x.shape[1]
     k = min(n, d)
-    means, xc = _center(x, True, n_valid)
-    c = mdot(xc.conj().T, xc)  # (d, d) psum
+    means, xm, _, gram, _ = _contractions(x, True, n_valid, fuse_centering)
+    c = gram()  # (d, d) psum
     lam, v = eigh_jit(c)
     lam = lam[::-1][:k]
     v_k = v[:, ::-1][:, :k]
@@ -173,13 +225,13 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     inv_sigma = jnp.where(sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1), 0)
     kmat = (v_k * inv_sigma.astype(v_k.dtype)[None, :]).T  # (k, d) replicated
     # X₁ = K·Xᵀ·√n, computed sharded-first: (X·V·σ⁻¹)ᵀ·√n
-    y1 = mdot(xc, v_k) * inv_sigma.astype(xc.dtype)[None, :]
+    y1 = xm(v_k) * inv_sigma.astype(x.dtype)[None, :]
     x1 = (y1 * jnp.sqrt(jnp.asarray(n, x.dtype))).T  # (k, n) col-sharded
 
     w_init = rng_util.normal(key, (k, k), x.dtype)
     w, lim, n_iter = _ica_par_core(
         x1, jnp.asarray(tol, jnp.real(x).dtype), max_iter, w_init, fun,
-        n_valid=None if n_valid is None else n_valid,
+        n_valid=n_valid,
     )
     components = mdot(w, kmat)  # (k, d) replicated
     return {

@@ -1,0 +1,109 @@
+"""Model persistence tests — the reference's serde round-trip contract
+(pca.rs:936-947, 1029-1041; ica.rs:422-432): a deserialized model
+transforms identically, and the RNG state survives so the next fit draws
+the same stream."""
+
+import numpy as np
+
+from petal_decomposition_tpu import (
+    FastIca,
+    Pca,
+    RandomizedPca,
+    load,
+    save,
+)
+from petal_decomposition_tpu.utils.serialize import from_bytes, to_bytes
+
+RNG_SEED = 1_234_567_891_011_121_314
+
+
+def test_pca_roundtrip(tmp_path):
+    """ref: pca.rs:936-947."""
+    x = np.array([[1.0, 1.0]], dtype=np.float32)
+    pca = Pca(1)
+    pca.fit(x)
+    path = tmp_path / "pca.npz"
+    save(pca, path)
+    loaded = load(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.components()), np.asarray(pca.components())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.mean()), np.asarray(pca.mean())
+    )
+
+
+def test_pca_roundtrip_transforms_identically(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((50, 8))
+    pca = Pca(3)
+    pca.fit(x)
+    loaded = from_bytes(to_bytes(pca))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.transform(x)), np.asarray(pca.transform(x))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.explained_variance_ratio()),
+        np.asarray(pca.explained_variance_ratio()),
+    )
+
+
+def test_randomized_pca_roundtrip_rng_state(tmp_path):
+    """ref: pca.rs:309-315 — the RNG state serializes, so a restored
+    model's next fit continues the same stream."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((40, 10))
+
+    pca = RandomizedPca.with_seed(2, RNG_SEED)
+    pca.fit(x)
+    blob = to_bytes(pca)
+
+    pca.fit(x)  # advances the original's stream
+    restored = from_bytes(blob)
+    restored.fit(x)  # must draw the same subkey as the line above
+    np.testing.assert_array_equal(
+        np.asarray(restored.components()), np.asarray(pca.components())
+    )
+
+
+def test_fast_ica_roundtrip(tmp_path):
+    """ref: ica.rs:422-432."""
+    x = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, -1.0]])
+    ica = FastIca.with_seed(RNG_SEED)
+    ica.fit(x)
+    path = tmp_path / "ica.npz"
+    save(ica, path)
+    loaded = load(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.components()), np.asarray(ica.components())
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.transform(x)), np.asarray(ica.transform(x))
+    )
+    assert loaded.n_iter_ == ica.n_iter_
+
+
+def test_unfitted_model_roundtrip():
+    pca = Pca(4, centering=False)
+    loaded = from_bytes(to_bytes(pca))
+    assert loaded.n_components() == 4
+    assert loaded._centering is False
+    assert loaded.components() is None
+
+
+def test_mesh_not_serialized():
+    import jax
+
+    from petal_decomposition_tpu import PcaBuilder
+    from petal_decomposition_tpu.parallel import make_mesh
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    x = np.random.default_rng(2).standard_normal((64, 6))
+    pca = PcaBuilder(2).mesh(mesh).build().fit(x)
+    loaded = from_bytes(to_bytes(pca))
+    assert loaded._mesh is None  # re-attach explicitly after load
+    np.testing.assert_allclose(
+        np.asarray(loaded.transform(x)),
+        np.asarray(pca.transform(x)),
+        atol=1e-12,
+    )
