@@ -29,7 +29,7 @@ __all__ = ["config", "Config"]
 
 @dataclass
 class Config:
-    linalg_backend: str = "auto"  # "auto" | "jacobi" | "xla"
+    linalg_backend: str = "auto"  # "auto" | "jacobi" | "xla" | "native"
     matmul_precision: str = "highest"
     # Max Jacobi sweeps before declaring non-convergence (LinalgError
     # analogue of LAPACK info != 0; ref: linalg.rs:84).
@@ -39,7 +39,7 @@ class Config:
     check_convergence: bool = True
 
     def validate(self) -> None:
-        if self.linalg_backend not in ("auto", "jacobi", "xla"):
+        if self.linalg_backend not in ("auto", "jacobi", "xla", "native"):
             raise ValueError(f"unknown linalg backend: {self.linalg_backend}")
 
 

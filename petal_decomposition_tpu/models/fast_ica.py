@@ -92,28 +92,45 @@ def logcosh(x):
     return g, s / x.shape[1]
 
 
-@partial(jax.jit, static_argnames=("max_iter", "fun", "n_valid"))
+@partial(jax.jit, static_argnames=("max_iter", "fun", "n_valid",
+                                   "use_pallas"))
 def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
-                  n_valid: int | None = None):
+                  n_valid: int | None = None,
+                  use_pallas: bool | None = None):
     """The FastICA fixed-point iteration (ref: ica.rs:319-361).
 
     ``n_valid`` (static): number of real sample columns when ``x`` is
     zero-padded for even sharding; reductions are corrected so padded
     columns contribute nothing.
+
+    ``use_pallas`` (static): fuse the contrast update (W·X → g → G·Xᵀ)
+    into a single-HBM-pass Pallas kernel.  ``None`` auto-enables on TPU
+    for supported shapes; forced off by the sharded path (the kernel is
+    single-device).
     """
+    from ..ops.pallas import ica_kernels
+
     n_pad = x.shape[1]
     n = n_pad if n_valid is None else n_valid
     pad = n_pad - n
     g0 = _GPRIME_AT_ZERO[fun]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",) and (
+            ica_kernels.supports(x.shape[0], x.dtype)
+        )
     w0 = symmetric_decorrelation(w_init)
     p_inv = 1.0 / n  # ref: ica.rs:330
 
     def body(state):
         w, _, it = state
-        gwtx, gsum = _contrast_sums(fun, mdot(w, x))  # ref: ica.rs:332
+        if use_pallas:
+            gx, gsum = ica_kernels.ica_contrast_update(w, x, fun=fun)
+        else:
+            gwtx, gsum = _contrast_sums(fun, mdot(w, x))  # ref: ica.rs:332
+            gx = mdot(gwtx, x.T)
         g_wtx = (gsum - pad * g0) * p_inv
         # W1 = symdecorr(G·Xᵀ/p − diag(g′)·W)   (ref: ica.rs:333-343)
-        update = mdot(gwtx, x.T) * p_inv - g_wtx[:, None] * w
+        update = gx * p_inv - g_wtx[:, None] * w
         w1 = symmetric_decorrelation(update)
         # lim = max_i ||row_i(W1)·col_i(W)| − 1|  (ref: ica.rs:344-354)
         lim = jnp.max(jnp.abs(jnp.abs(jnp.einsum("ij,ji->i", w1, w)) - 1.0))
@@ -208,7 +225,12 @@ class FastIca:
 
     # -- fitting (ref: ica.rs:105-157) ----------------------------------
     def fit(self, x) -> "FastIca":
-        self._inner_fit(_common.as_matrix(x))
+        from ..utils.profiling import record_fit
+
+        x = _common.as_matrix(x)
+        with record_fit(self, x.shape[0], x.shape[1]) as stats:
+            self._inner_fit(x)
+            stats.n_iter = self._n_iter
         return self
 
     def transform(self, x):
@@ -221,8 +243,12 @@ class FastIca:
 
     def fit_transform(self, x):
         """Fit, then return ``(components·X_c)ᵀ`` (ref: ica.rs:147-157)."""
+        from ..utils.profiling import record_fit
+
         x = _common.as_matrix(x)
-        xt_c = self._inner_fit(x)
+        with record_fit(self, x.shape[0], x.shape[1]) as stats:
+            xt_c = self._inner_fit(x)
+            stats.n_iter = self._n_iter
         if xt_c is None:  # mesh path: same result via the projection
             return self.transform(x)
         return mdot(self._components, xt_c).T

@@ -87,7 +87,11 @@ class Pca:
     # -- fitting --------------------------------------------------------
     def fit(self, x) -> "Pca":
         """Fit the model (ref: pca.rs:116-122).  Returns ``self``."""
-        self._inner_fit(_common.as_matrix(x))
+        from ..utils.profiling import record_fit
+
+        x = _common.as_matrix(x)
+        with record_fit(self, x.shape[0], x.shape[1]):
+            self._inner_fit(x)
         return self
 
     def transform(self, x):
@@ -99,8 +103,11 @@ class Pca:
 
     def fit_transform(self, x):
         """Fit and project in one pass, reusing U (ref: pca.rs:153-167)."""
+        from ..utils.profiling import record_fit
+
         x = _common.as_matrix(x)
-        u = self._inner_fit(x)
+        with record_fit(self, x.shape[0], x.shape[1]):
+            u = self._inner_fit(x)
         return _common.transform_with_u(
             u, self._singular_full, self._n_components
         )

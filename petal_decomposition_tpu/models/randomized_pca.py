@@ -175,7 +175,11 @@ class RandomizedPca:
 
     # -- fitting (ref: pca.rs:430-550) ----------------------------------
     def fit(self, x) -> "RandomizedPca":
-        self._inner_fit(_common.as_matrix(x))
+        from ..utils.profiling import record_fit
+
+        x = _common.as_matrix(x)
+        with record_fit(self, x.shape[0], x.shape[1]):
+            self._inner_fit(x)
         return self
 
     def transform(self, x):
@@ -185,8 +189,11 @@ class RandomizedPca:
         )
 
     def fit_transform(self, x):
+        from ..utils.profiling import record_fit
+
         x = _common.as_matrix(x)
-        u = self._inner_fit(x)
+        with record_fit(self, x.shape[0], x.shape[1]):
+            u = self._inner_fit(x)
         return _common.transform_with_u(
             u, self._singular_full, self._n_components
         )

@@ -105,6 +105,16 @@ def svd_jit(a, compute_vt: bool = True):
     return (u, s, vt) if compute_vt else (u, s, None)
 
 
+def _use_native(dtype) -> bool:
+    if config.linalg_backend != "native":
+        return False
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return False  # native core is real-valued; Jacobi handles complex
+    from ..utils import native
+
+    return native.available()
+
+
 def svd(a, compute_vt: bool = True):
     """Thin SVD ``a = U diag(s) Vᵀ`` (reference ``svd``/gesvd,
     linalg.rs:70-91).
@@ -113,6 +123,17 @@ def svd(a, compute_vt: bool = True):
     or ``None``; k = min(m, n).
     """
     a = jnp.asarray(a)
+    if _use_native(a.dtype):
+        import numpy as np
+
+        from ..utils import native
+
+        u, s, vt = native.jacobi_svd(np.asarray(a))
+        real = jnp.finfo(a.dtype).dtype
+        u = jnp.asarray(u, a.dtype)
+        s = jnp.asarray(s, real)
+        vt = jnp.asarray(vt, a.dtype) if compute_vt else None
+        return u, s, vt
     if _use_jacobi(a.dtype):
         u, s, vt, off, _ = jacobi_svd(a, compute_v=True)
         tol = float(jnp.finfo(s.dtype).eps) * (max(a.shape) ** 0.5) * 4
@@ -138,6 +159,16 @@ def eigh(a):
     Returns ``(w, v)``; eigenvectors are the columns of ``v``.
     """
     a = jnp.asarray(a)
+    if _use_native(a.dtype):
+        import numpy as np
+
+        from ..utils import native
+
+        w, v = native.jacobi_eigh(np.asarray(a))
+        return (
+            jnp.asarray(w, jnp.finfo(a.dtype).dtype),
+            jnp.asarray(v, a.dtype),
+        )
     if _use_jacobi(a.dtype):
         w, v, off, _ = jacobi_eigh(a)
         tol = float(jnp.finfo(w.dtype).eps) * (a.shape[0] ** 0.5) * 4

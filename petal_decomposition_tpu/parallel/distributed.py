@@ -231,7 +231,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     w_init = rng_util.normal(key, (k, k), x.dtype)
     w, lim, n_iter = _ica_par_core(
         x1, jnp.asarray(tol, jnp.real(x).dtype), max_iter, w_init, fun,
-        n_valid=n_valid,
+        n_valid=n_valid, use_pallas=False,  # kernel is single-device
     )
     components = mdot(w, kmat)  # (k, d) replicated
     return {

@@ -33,6 +33,8 @@ def _model_state(model) -> tuple[dict, dict]:
             # Device meshes are process-local hardware handles; a loaded
             # model re-attaches via the builder's .mesh(...) if desired.
             meta[name] = None
+        elif name == "last_fit_stats_":
+            continue  # transient observability data, not model state
         elif value is None:
             meta[name] = None
         elif isinstance(value, (bool, int, float, str)):

@@ -1,0 +1,44 @@
+"""Observability tests (SURVEY §5: metrics/logging rows)."""
+
+import numpy as np
+
+from petal_decomposition_tpu import FastIca, Pca, RandomizedPca
+
+
+def test_pca_fit_stats():
+    x = np.random.default_rng(0).standard_normal((64, 8))
+    pca = Pca(2)
+    pca.fit(x)
+    stats = pca.last_fit_stats_
+    assert stats.wall_time_s > 0
+    assert stats.n_samples == 64
+    assert stats.n_features == 8
+
+
+def test_ica_fit_stats_n_iter():
+    rng = np.random.default_rng(1)
+    n = 2000
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n))], axis=1
+    )
+    x = s @ np.array([[1.0, 0.4], [0.2, 1.0]])
+    ica = FastIca.with_seed(7)
+    ica.fit(x)
+    assert ica.last_fit_stats_.n_iter == ica.n_iter_ >= 1
+
+
+def test_randomized_pca_fit_stats():
+    x = np.random.default_rng(2).standard_normal((128, 16))
+    pca = RandomizedPca.with_seed(3, 99)
+    pca.fit_transform(x)
+    assert pca.last_fit_stats_.n_samples == 128
+
+
+def test_stats_not_serialized():
+    from petal_decomposition_tpu.utils.serialize import from_bytes, to_bytes
+
+    x = np.random.default_rng(3).standard_normal((32, 4))
+    pca = Pca(2)
+    pca.fit(x)
+    loaded = from_bytes(to_bytes(pca))
+    assert not hasattr(loaded, "last_fit_stats_")
