@@ -43,7 +43,10 @@ class Config:
             raise ValueError(f"unknown linalg backend: {self.linalg_backend}")
 
 
-config = Config()
+config = Config(
+    linalg_backend=os.environ.get("PETAL_LINALG_BACKEND", "auto"),
+)
+config.validate()
 
 
 def enable_x64() -> None:

@@ -115,9 +115,10 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     pad = n_pad - n
     g0 = _GPRIME_AT_ZERO[fun]
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",) and (
-            ica_kernels.supports(x.shape[0], x.dtype)
-        )
+        # Resolution must happen in an eager context (the probe compiles
+        # and runs a tiny kernel); callers under jit pass an explicit
+        # bool.  Conservative default when unresolved.
+        use_pallas = False
     w0 = symmetric_decorrelation(w_init)
     p_inv = 1.0 / n  # ref: ica.rs:330
 
@@ -147,6 +148,19 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     return w, lim, n_iter
 
 
+def resolve_use_pallas(k: int, dtype) -> bool:
+    """Eager-context decision: fuse the contrast update with the Pallas
+    kernel?  Requires a TPU-like backend, a supported shape, and a
+    passing one-time compile probe."""
+    from ..ops.pallas import ica_kernels
+
+    return (
+        jax.default_backend() not in ("cpu",)
+        and ica_kernels.supports(k, dtype)
+        and ica_kernels.kernel_available()
+    )
+
+
 def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh"):
     """Symmetric FastICA iteration (ref: ica.rs:319-361).
 
@@ -157,6 +171,7 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh"):
     w, _, n_iter = _ica_par_core(
         x, jnp.asarray(tol, jnp.real(x).dtype), int(max_iter),
         jnp.asarray(w_init), fun,
+        use_pallas=resolve_use_pallas(x.shape[0], x.dtype),
     )
     return w, int(n_iter)
 

@@ -83,6 +83,23 @@ def supports(k: int, dtype) -> bool:
     return jnp.dtype(dtype) == jnp.float32 and k % 8 == 0 and 8 <= k <= 1024
 
 
+@functools.lru_cache(maxsize=1)
+def kernel_available() -> bool:
+    """One-time probe: can Mosaic compile and run this kernel on the
+    current backend?  Keeps fits working (XLA fallback) on stacks where
+    Pallas lowering is broken."""
+    if jax.default_backend() == "cpu":
+        return False
+    try:
+        w = jnp.eye(8, dtype=jnp.float32)
+        x = jnp.ones((8, 128), jnp.float32)
+        gx, gs = ica_contrast_update(w, x, fun="logcosh")
+        jax.block_until_ready((gx, gs))
+        return True
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("fun", "tile"))
 def ica_contrast_update(w, x1, *, fun: str = "logcosh",
                         tile: int = _DEF_TILE):

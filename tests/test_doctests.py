@@ -1,0 +1,26 @@
+"""Doctest runner — the reference uses doctests on every public item as
+API-contract tests (SURVEY §4); same idea here."""
+
+import doctest
+
+import petal_decomposition_tpu.models.fast_ica as fast_ica_mod
+import petal_decomposition_tpu.models.pca as pca_mod
+import petal_decomposition_tpu.models.randomized_pca as rpca_mod
+
+
+def _run(module):
+    result = doctest.testmod(module, verbose=False)
+    assert result.failed == 0, f"{result.failed} doctest failures in {module}"
+    assert result.attempted > 0
+
+
+def test_pca_doctests():
+    _run(pca_mod)
+
+
+def test_randomized_pca_doctests():
+    _run(rpca_mod)
+
+
+def test_fast_ica_doctests():
+    _run(fast_ica_mod)
