@@ -150,12 +150,14 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
 
 def resolve_use_pallas(k: int, dtype) -> bool:
     """Eager-context decision: fuse the contrast update with the Pallas
-    kernel?  Requires a TPU-like backend, a supported shape, and a
-    passing one-time compile probe."""
+    kernel?  Requires opt-in (``config.use_pallas_ica``), a TPU-like
+    backend, a supported shape, and a passing one-time compile probe."""
+    from ..config import config
     from ..ops.pallas import ica_kernels
 
     return (
-        jax.default_backend() not in ("cpu",)
+        config.use_pallas_ica
+        and jax.default_backend() not in ("cpu",)
         and ica_kernels.supports(k, dtype)
         and ica_kernels.kernel_available()
     )

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ica_contrast_update", "supports"]
 
 _LANE = 128
-_DEF_TILE = 2048
+_DEF_TILE = 8192
 
 
 def _apply_contrast(fun: str, wx):
@@ -76,11 +76,22 @@ def _kernel(fun: str, w_ref, x_ref, gx_ref, gsum_ref):
     )
 
 
+_VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom under the ~16 MB/core
+
+
+def _pick_tile(k: int, tile: int, n: int) -> int:
+    """Largest lane-aligned tile with x/wx/g blocks + W within budget."""
+    per_col = 3 * k * 4  # x tile + wx + g, f32
+    cap = max(_LANE, (_VMEM_BUDGET - 2 * k * k * 4) // per_col)
+    cap = (cap // _LANE) * _LANE
+    want = min(tile, ((n + _LANE - 1) // _LANE) * _LANE)
+    return max(_LANE, min(want, cap))
+
+
 def supports(k: int, dtype) -> bool:
-    """Kernel applicability: f32 working set with W and three k-tiles
-    resident in VMEM (k ≤ 1024 keeps usage < ~12 MB at the default
-    tile)."""
-    return jnp.dtype(dtype) == jnp.float32 and k % 8 == 0 and 8 <= k <= 1024
+    """Kernel applicability: f32, lane-friendly k, and a workable VMEM
+    footprint (W + a useful tile)."""
+    return jnp.dtype(dtype) == jnp.float32 and k % 8 == 0 and 8 <= k <= 512
 
 
 @functools.lru_cache(maxsize=1)
@@ -109,32 +120,37 @@ def ica_contrast_update(w, x1, *, fun: str = "logcosh",
     columns follow the g′(0) convention above).
     """
     k, n = x1.shape
-    bn = min(tile, max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE))
+    bn = _pick_tile(k, tile, n)
     pad = (-n) % bn
     if pad:
         x1 = jnp.pad(x1, ((0, 0), (0, pad)))
     n_pad = x1.shape[1]
 
-    gx, gsum = pl.pallas_call(
-        functools.partial(_kernel, fun),
-        grid=(n_pad // bn,),
-        in_specs=[
-            pl.BlockSpec((k, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((k, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((k, k), jnp.float32),
-            jax.ShapeDtypeStruct((k, 1), jnp.float32),
-        ],
-    )(w, x1)
+    # Mosaic fails to legalize kernels traced under jax_enable_x64 (the
+    # i64 index types it injects don't lower); trace the kernel in a
+    # local x64-off scope — all operands are f32, so numerics are
+    # unaffected.
+    with jax.enable_x64(False):
+        gx, gsum = pl.pallas_call(
+            functools.partial(_kernel, fun),
+            grid=(n_pad // bn,),
+            in_specs=[
+                pl.BlockSpec((k, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, bn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((k, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((k, k), jnp.float32),
+                jax.ShapeDtypeStruct((k, 1), jnp.float32),
+            ],
+        )(w, x1)
     # Padded columns added g′(0) each; subtract them here so callers see
     # sums over the true n columns they passed in.
     g0 = {"logcosh": 1.0, "exp": 1.0, "cube": 0.0}[fun]
