@@ -101,9 +101,39 @@ def _cpu_baseline_seconds() -> float:
     return dt * (N_ROWS / CPU_SAMPLE_ROWS)
 
 
+ICA_K = 64
+ICA_N = 100_000
+ICA_ITERS = 50
+
+
+def _ica_iters_per_sec() -> float:
+    """FastICA iteration throughput (BASELINE 'iters/sec' metric):
+    timed on the jitted ica_par core at the eval-config-3 shape
+    (64 sources × 100k samples, whitened f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.models.fast_ica import _ica_par_core
+
+    x1 = jax.random.normal(jax.random.key(1), (ICA_K, ICA_N), jnp.float32)
+    w0 = jax.random.normal(jax.random.key(2), (ICA_K, ICA_K), jnp.float32)
+    tol = jnp.asarray(1e-12, jnp.float32)  # force the full iteration count
+
+    def run():
+        w, _, _ = _ica_par_core(x1, tol, ICA_ITERS, w0, "logcosh")
+        np.asarray(w).ravel()[:1]
+
+    run()  # warmup
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return ICA_ITERS / dt
+
+
 def main() -> None:
     tpu_s, info = _tpu_fit_seconds()
     cpu_s = _cpu_baseline_seconds()
+    ica_ips = _ica_iters_per_sec()
 
     # Rough data-movement model for the fit: the sketch + 2×2 power-iter
     # passes + projection each stream the full matrix from HBM.
@@ -121,6 +151,7 @@ def main() -> None:
             "effective_hbm_gbps": round(hbm_gbps, 1),
             "k": K,
             "power_iters": POWER_ITERS,
+            "fastica_iters_per_sec_64x100k": round(ica_ips, 1),
             "device": info["device"],
         },
     }

@@ -194,12 +194,16 @@ class FastIca:
     def __init__(self, *, seed: int | None = None, key=None,
                  fun: str = "logcosh", tol: float = 1e-4,
                  max_iter: int = 200, whiten_solver: str = "svd",
-                 mesh=None):
+                 mesh=None, n_components: int | None = None):
         if fun not in _CONTRASTS:
             raise ValueError(f"unknown contrast function {fun!r}")
         if whiten_solver not in ("svd", "eigh"):
             raise ValueError(f"unknown whiten solver {whiten_solver!r}")
         self._mesh = mesh
+        # The reference pins k = min(n, d) (ica.rs:173); an explicit
+        # n_components (north-star extension, sklearn-style) keeps only
+        # the top-k whitened directions.
+        self._n_components = None if n_components is None else int(n_components)
         if key is not None:
             self._key = key
         else:
@@ -274,7 +278,14 @@ class FastIca:
         """ref: ica.rs:167-221.  Returns the centered, transposed data
         (d × n), as the reference does."""
         n, d = x.shape
-        k = min(n, d)  # not user-settable (ica.rs:173)
+        # Reference default: k = min(n, d), not user-settable (ica.rs:173).
+        k = min(n, d)
+        if self._n_components is not None:
+            if self._n_components > k:
+                raise InvalidInput(
+                    f"n_components should be at most {k}"
+                )
+            k = self._n_components
         if n == 0:
             return jnp.zeros((d, 0), x.dtype)
 
@@ -288,6 +299,7 @@ class FastIca:
                 x_sh, subkey,
                 fun=self._fun, tol=self._tol, max_iter=self._max_iter,
                 n_valid=n_true if n_true != x_sh.shape[0] else None,
+                n_components=self._n_components,
             )
             self._components = st["components"]
             self._means = st["means"]
@@ -352,6 +364,7 @@ class FastIcaBuilder:
         self._max_iter = 200
         self._whiten_solver = "svd"
         self._mesh = None
+        self._n_components = None
 
     @classmethod
     def new(cls) -> "FastIcaBuilder":
@@ -388,6 +401,12 @@ class FastIcaBuilder:
         self._mesh = mesh
         return self
 
+    def n_components(self, n_components: int) -> "FastIcaBuilder":
+        """Keep only the top-k whitened directions (extension; the
+        reference always uses min(n, d), ica.rs:173)."""
+        self._n_components = n_components
+        return self
+
     def build(self) -> FastIca:
         return FastIca(
             seed=self._seed,
@@ -397,4 +416,5 @@ class FastIcaBuilder:
             max_iter=self._max_iter,
             whiten_solver=self._whiten_solver,
             mesh=self._mesh,
+            n_components=self._n_components,
         )

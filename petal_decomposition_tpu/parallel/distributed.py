@@ -201,10 +201,11 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
 
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "n_valid",
-                                   "fuse_centering"))
+                                   "fuse_centering", "n_components"))
 def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
                  max_iter: int = 200, n_valid: int | None = None,
-                 fuse_centering: bool = True):
+                 fuse_centering: bool = True,
+                 n_components: int | None = None):
     """FastICA with Gram/eigh whitening as one sharded XLA computation.
 
     Whitening reduces over samples once (d×d psum); each ``ica_par``
@@ -215,7 +216,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
 
     n = x.shape[0] if n_valid is None else n_valid
     d = x.shape[1]
-    k = min(n, d)
+    k = min(n, d) if n_components is None else min(n_components, n, d)
     means, xm, _, gram, _ = _contractions(x, True, n_valid, fuse_centering)
     c = gram()  # (d, d) psum
     lam, v = eigh_jit(c)

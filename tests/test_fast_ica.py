@@ -156,3 +156,22 @@ def test_fast_ica_more_features_than_samples():
     y = np.asarray(ica.fit_transform(x))
     assert y.shape == (5, 5)  # k = min(n, d)
     assert np.all(np.isfinite(y))
+
+
+def test_fast_ica_n_components_extension():
+    """Explicit n_components (extension; ref pins k=min(n,d))."""
+    rng = np.random.default_rng(23)
+    n = 2000
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n)),
+         rng.standard_normal(n) ** 3],
+        axis=1,
+    )
+    x = s @ rng.standard_normal((3, 6))  # 6 observed channels
+    ica = FastIcaBuilder().seed(RNG_SEED).n_components(3).build()
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (n, 3)
+    assert np.asarray(ica.components()).shape == (3, 6)
+
+    with pytest.raises(InvalidInput):
+        FastIcaBuilder().seed(1).n_components(10).build().fit(x)
