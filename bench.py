@@ -39,6 +39,14 @@ def _tpu_fit_seconds() -> tuple[float, dict]:
     )
     from petal_decomposition_tpu.utils.rng import key_from_seed
 
+    # Warm the Pallas kernel probe eagerly so the jitted pipeline can
+    # dispatch the VMEM Jacobi kernel for the projected-matrix SVD.
+    from petal_decomposition_tpu.ops.pallas.jacobi_kernels import (
+        kernel_available,
+    )
+
+    kernel_available()
+
     dev = jax.devices()[0]
     key = key_from_seed(1_234_567_891_011_121_314)
     x = jax.device_put(

@@ -15,11 +15,34 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..errors import InvalidInput
-from ..ops.linalg import svd, svd_flip
+from functools import partial
+
+import jax
+
+from ..config import config
+from ..errors import InvalidInput, LinalgError
+from ..ops.linalg import svd, svd_flip, svd_jit_cert
 from . import _common
 
 __all__ = ["Pca", "PcaBuilder"]
+
+
+@partial(jax.jit, static_argnames=("centering",))
+def _fit_exact(x, *, centering: bool):
+    """Whole exact-SVD fit as one XLA computation: centering, thin SVD
+    (Jacobi on TPU), deterministic sign flip, total variance.  A single
+    device dispatch instead of one per op — the Rust pipeline's
+    inner_fit (pca.rs:195-231) as one compiled program."""
+    n, d = x.shape
+    if centering:
+        means = jnp.mean(x, axis=0)
+        xc = x - means
+    else:
+        means = jnp.zeros((d,), x.dtype)
+        xc = x
+    u, sigma, vt, off = svd_jit_cert(xc)
+    u, vt = svd_flip(u, vt)
+    return u, sigma, vt, means, sigma @ sigma, off
 
 
 class Pca:
@@ -150,7 +173,8 @@ class Pca:
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
             self._total_variance = st["total_variance"]
-        else:
+        elif config.linalg_backend == "native":
+            # Host-native backend: eager path through the C++ core.
             if self._centering:
                 means = jnp.mean(x, axis=0)
                 xc = x - means
@@ -162,6 +186,17 @@ class Pca:
             # Total variance sums *all* squared singular values
             # (pca.rs:224).
             self._total_variance = sigma @ sigma
+        else:
+            u, sigma, vt, means, total_var, off = _fit_exact(
+                x, centering=self._centering
+            )
+            if config.check_convergence:
+                tol = float(jnp.finfo(sigma.dtype).eps) * (max(n, d) ** 0.5) * 4
+                if float(off) > tol:
+                    raise LinalgError(
+                        "singular value decomposition did not converge"
+                    )
+            self._total_variance = total_var
 
         self._components = vt[:k, :]
         self._n_samples = n

@@ -240,21 +240,25 @@ class RandomizedPca:
             self._singular_full = sigma
             return u
 
-        if self._centering:
-            means = jnp.mean(x, axis=0)
-            xc = x - means
-        else:
-            means = jnp.zeros((d,), x.dtype)
-            xc = x
+        # Single-device fit as ONE jitted XLA computation (explicit
+        # centering and Householder final QR for reference-parity
+        # rounding; the Halko flow is identical to pca.rs:665-718).
+        from ..parallel.distributed import randomized_pca_fit
 
-        u, sigma, vt = randomized_svd(
-            xc, k, subkey,
+        st = randomized_pca_fit(
+            x, subkey,
+            n_components=k,
+            centering=self._centering,
             n_oversamples=self._n_oversamples,
             n_power_iters=self._n_power_iters,
-            power_iteration_normalizer=self._normalizer,
+            normalizer=self._normalizer,
+            fuse_centering=False,
+            final_orth="qr",
         )
+        u, sigma, vt = st["u"], st["sigma"], st["vt"]
+        means = st["means"]
         # Frobenius² of the centered data, NOT σ·σ (ref: pca.rs:533).
-        self._total_variance = jnp.sum(jnp.abs(xc) ** 2)
+        self._total_variance = st["total_variance"]
         self._components = vt[:k, :]
         self._n_samples = n
         self._means = means

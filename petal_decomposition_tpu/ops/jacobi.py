@@ -189,6 +189,23 @@ def _jacobi_svd_core(a, *, compute_v: bool, max_sweeps: int, update: str):
     return a, v, off, sweeps
 
 
+def _vmem_kernel_ok(a, m: int, n: int) -> bool:
+    """Use the single-invocation VMEM Pallas kernel?  (f32 on TPU, shape
+    within VMEM budget, compile probe passed.)  Under tracing, only a
+    previously-run eager probe counts — the probe itself compiles."""
+    import jax.core
+
+    from .pallas import jacobi_kernels as jk
+
+    if jax.default_backend() == "cpu":
+        return False
+    if not jk.supports(m, n, a.dtype):
+        return False
+    if isinstance(a, jax.core.Tracer):
+        return jk.probed() is True
+    return jk.kernel_available()
+
+
 def jacobi_svd(a, *, compute_v: bool = True, max_sweeps: int | None = None,
                update: str | None = None):
     """Thin SVD via one-sided Jacobi: ``a = U diag(s) Vᴴ``.
@@ -214,9 +231,17 @@ def jacobi_svd(a, *, compute_v: bool = True, max_sweeps: int | None = None,
         a = a.conj().T
         m, n = n, m
 
-    a_rot, v, off, sweeps = _jacobi_svd_core(
-        a, compute_v=True, max_sweeps=max_sweeps, update=update
-    )
+    if _vmem_kernel_ok(a, m, n):
+        from .pallas import jacobi_kernels
+
+        a_rot, v, off = jacobi_kernels.jacobi_svd_vmem(
+            a, max_sweeps=max_sweeps
+        )
+        sweeps = jnp.asarray(-1, jnp.int32)  # not tracked in-kernel
+    else:
+        a_rot, v, off, sweeps = _jacobi_svd_core(
+            a, compute_v=True, max_sweeps=max_sweeps, update=update
+        )
     s = jnp.sqrt(jnp.real(jnp.sum(jnp.conj(a_rot) * a_rot, axis=0)))
     order = jnp.argsort(-s)
     s = jnp.take(s, order)

@@ -105,6 +105,18 @@ def svd_jit(a, compute_vt: bool = True):
     return (u, s, vt) if compute_vt else (u, s, None)
 
 
+def svd_jit_cert(a):
+    """Like :func:`svd_jit` but also returns the convergence certificate
+    (final relative off-diagonal; 0 for direct backends), so a fully
+    jitted fit can surface non-convergence as ``LinalgError`` with one
+    host check afterwards."""
+    if _use_jacobi(a.dtype):
+        u, s, vt, off, _ = jacobi_svd(a, compute_v=True)
+        return u, s, vt, off
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    return u, s, vt, jnp.zeros((), s.dtype)
+
+
 def _use_native(dtype) -> bool:
     if config.linalg_backend != "native":
         return False

@@ -149,13 +149,15 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
         "normalizer",
         "n_valid",
         "fuse_centering",
+        "final_orth",
     ),
 )
 def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                        n_oversamples: int = 10, n_power_iters: int = 7,
                        normalizer: str = "cholqr2",
                        n_valid: int | None = None,
-                       fuse_centering: bool = True):
+                       fuse_centering: bool = True,
+                       final_orth: str = "auto"):
     """Halko randomized SVD as one sharded XLA computation.
 
     Mirrors the single-device pipeline (pca.rs:665-718) with the
@@ -186,7 +188,14 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     for _ in range(n_power_iters):
         q = xtm(norm(q))  # (d, l) replicated (psum)
         q = xm(norm(q))  # (n, l) sharded
-    q = cholesky_qr2(q) if normalizer != "qr" else norm(q)
+    # Final orthonormalization: Householder QR matches the reference's
+    # economy-QR semantics (linalg.rs:127-147); CholeskyQR2 is the
+    # matmul-only choice for sharded fits.
+    if final_orth == "auto":
+        final_orth = "qr" if normalizer == "qr" else "cholqr2"
+    q = jnp.linalg.qr(q, mode="reduced")[0] if final_orth == "qr" else (
+        cholesky_qr2(q)
+    )
     b = xtm(q).conj().T  # (l, d) replicated: Qᴴ·Xc via one psum
     u_b, sigma, vt = svd_jit(b)
     u = mdot(q, u_b)  # (n, l) sharded
