@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..errors import InvalidInput
 from ..ops import linalg as _linalg
-from ..ops.linalg import eigh, eigh_jit, mdot, svd
+from ..ops.linalg import eigh_psd_jit, mdot, svd
 from ..utils import rng as rng_util
 from . import _common
 
@@ -55,7 +55,7 @@ def symmetric_decorrelation(w):
     ``eigh(W·Wᵀ) = E·diag(λ)·Eᵀ``; returns ``E·diag(1/√λ)·Eᵀ·W``.
     """
     w = jnp.asarray(w)
-    e, v = eigh_jit(mdot(w, w.conj().T))
+    e, v = eigh_psd_jit(mdot(w, w.conj().T))
     inv_sqrt = (1.0 / jnp.sqrt(e)).astype(w.dtype)
     return mdot(mdot(v * inv_sqrt[None, :], v.conj().T), w)
 
@@ -339,7 +339,7 @@ def _whitening_matrix(xt, k: int, solver: str):
         u, sigma, _ = svd(xt, compute_vt=False)
     else:
         gram = _linalg.mdot(xt, xt.conj().T)
-        lam, vecs = eigh(gram)  # ascending
+        lam, vecs = eigh_psd_jit(gram)  # ascending
         lam = lam[::-1]
         u = vecs[:, ::-1]
         sigma = jnp.sqrt(jnp.maximum(lam, 0.0))

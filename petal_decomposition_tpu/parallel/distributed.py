@@ -49,7 +49,7 @@ from ..ops.centered import (
 )
 from ..ops.linalg import (
     cholesky_qr2,
-    eigh_jit,
+    eigh_psd_jit,
     lu_pl,
     mdot,
     svd_flip,
@@ -122,7 +122,7 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
         x, centering, n_valid, fuse_centering
     )
     c = gram()  # (d, d), psum over the sample axis
-    lam, v = eigh_jit(c)  # ascending
+    lam, v = eigh_psd_jit(c)  # ascending
     lam = lam[::-1]
     v = v[:, ::-1]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
@@ -228,7 +228,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     k = min(n, d) if n_components is None else min(n_components, n, d)
     means, xm, _, gram, _ = _contractions(x, True, n_valid, fuse_centering)
     c = gram()  # (d, d) psum
-    lam, v = eigh_jit(c)
+    lam, v = eigh_psd_jit(c)
     lam = lam[::-1][:k]
     v_k = v[:, ::-1][:, :k]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
