@@ -78,6 +78,11 @@ class Pca:
         self._total_variance = None  # real scalar
         self._n_samples = 0
 
+    @classmethod
+    def new(cls, n_components: int) -> "Pca":
+        """Constructor alias mirroring ``Pca::new`` (ref: pca.rs:59-68)."""
+        return cls(n_components)
+
     # -- accessors (ref: pca.rs:78-105) ---------------------------------
     def components(self):
         """Principal axes in feature space, shape (k, d)."""

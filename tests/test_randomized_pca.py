@@ -146,3 +146,22 @@ def test_randomized_pca_without_centering():
     assert abs(abs(y[0, 0]) - 0.0) < 1e-10
     assert abs(abs(y[1, 0]) - 5.0) < 1e-10
     assert abs(abs(y[2, 0]) - 10.0) < 1e-10
+
+
+def test_randomized_pca_complex():
+    """Complex support end-to-end (the reference is generic over c32/c64)."""
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((60, 12)) + 1j * rng.standard_normal((60, 12))
+    pca = RandomizedPca.with_seed(3, RNG_SEED)
+    y = np.asarray(pca.fit_transform(x))
+    assert y.shape == (60, 3)
+    assert np.all(np.isfinite(y))
+    # fit+transform consistency
+    pca2 = RandomizedPca.with_seed(3, RNG_SEED)
+    pca2.fit(x)
+    y2 = np.asarray(pca2.transform(x))
+    assert np.abs(y - y2).max() < 1e-8
+    # rank-3 reconstruction error bounded by sigma_4
+    z = np.asarray(pca2.inverse_transform(y2))
+    s_all = np.linalg.svd(x - x.mean(0), compute_uv=False)
+    assert np.abs(z - x).max() <= s_all[3] * 2
