@@ -148,6 +148,14 @@ def main() -> None:
     passes = 2 + 2 * POWER_ITERS
     bytes_moved = passes * N_ROWS * N_COLS * 4
     hbm_gbps = bytes_moved / tpu_s / 1e9
+    # Utilization readouts (SURVEY §5 tracing row).  At k+10=42 sketch
+    # columns the algorithm's arithmetic intensity (~21 flop/byte) is far
+    # below the MXU roofline (~240), so HBM utilization is the meaningful
+    # axis; MXU% is reported for honesty.
+    l = K + OVERSAMPLES
+    flops = passes * 2 * N_ROWS * N_COLS * l
+    mxu_util_pct = flops / tpu_s / 197e12 * 100  # vs bf16 peak
+    hbm_util_pct = hbm_gbps / 819 * 100  # vs v5e HBM peak
 
     result = {
         "metric": f"randomized_pca_fit_{N_ROWS // 1000}kx{N_COLS}_f32",
@@ -157,6 +165,8 @@ def main() -> None:
         "detail": {
             "cpu_baseline_est_ms": round(cpu_s * 1e3, 1),
             "effective_hbm_gbps": round(hbm_gbps, 1),
+            "hbm_util_pct": round(hbm_util_pct, 1),
+            "mxu_util_pct": round(mxu_util_pct, 2),
             "k": K,
             "power_iters": POWER_ITERS,
             "fastica_iters_per_sec_64x100k": round(ica_ips, 1),

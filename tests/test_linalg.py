@@ -151,3 +151,22 @@ def test_svd_flip_reference_golden():
     np.testing.assert_array_equal(
         np.asarray(vf), [[1.0, 1.0], [2.0, -2.0], [3.0, -3.0]]
     )
+
+
+def test_linalg_error_on_nonconvergence():
+    """LinalgError surfaces when the sweep budget is exhausted — the
+    LAPACK info != 0 analogue (ref: linalg.rs:84)."""
+    from petal_decomposition_tpu import LinalgError, config as cfg
+    from petal_decomposition_tpu.ops import linalg as L
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((40, 12))
+    old = cfg.jacobi_max_sweeps
+    cfg.jacobi_max_sweeps = 1  # far too few sweeps to converge
+    try:
+        with pytest.raises(LinalgError):
+            L.svd(a)
+    finally:
+        cfg.jacobi_max_sweeps = old
+    # converges fine with the normal budget
+    L.svd(a)
