@@ -238,6 +238,18 @@ def jacobi_svd(a, *, compute_v: bool = True, max_sweeps: int | None = None,
             a, max_sweeps=max_sweeps
         )
         sweeps = jnp.asarray(-1, jnp.int32)  # not tracked in-kernel
+    elif _vmem_kernel_ok(a, n + (n % 2), n) and not jnp.iscomplexobj(a):
+        # Tall matrix whose n×n R factor fits the kernel:
+        # QR-precondition (backward-stable Householder, one XLA call),
+        # VMEM Jacobi on R, then map the rotated columns back through Q.
+        from .pallas import jacobi_kernels
+
+        q_f, r_f = jnp.linalg.qr(a, mode="reduced")
+        r_rot, v, off = jacobi_kernels.jacobi_svd_vmem(
+            r_f, max_sweeps=max_sweeps
+        )
+        a_rot = jnp.dot(q_f, r_rot, precision=config.matmul_precision)
+        sweeps = jnp.asarray(-1, jnp.int32)
     else:
         a_rot, v, off, sweeps = _jacobi_svd_core(
             a, compute_v=True, max_sweeps=max_sweeps, update=update
