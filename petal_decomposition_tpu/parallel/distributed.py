@@ -121,8 +121,10 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
     means, xm, _, gram, _ = _contractions(
         x, centering, n_valid, fuse_centering
     )
-    c = gram()  # (d, d), psum over the sample axis
-    lam, v = eigh_psd_jit(c)  # ascending
+    with jax.named_scope("gram"):
+        c = gram()  # (d, d), psum over the sample axis
+    with jax.named_scope("eigh"):
+        lam, v = eigh_psd_jit(c)  # ascending
     lam = lam[::-1]
     v = v[:, ::-1]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
@@ -184,21 +186,27 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         return m
 
     omega = rng_util.normal(key, (d, l), x.dtype)
-    q = xm(omega)  # (n, l) sharded
-    for _ in range(n_power_iters):
-        q = xtm(norm(q))  # (d, l) replicated (psum)
-        q = xm(norm(q))  # (n, l) sharded
+    with jax.named_scope("sketch"):
+        q = xm(omega)  # (n, l) sharded
+    for it in range(n_power_iters):
+        with jax.named_scope(f"power_iter_{it}"):
+            q = xtm(norm(q))  # (d, l) replicated (psum)
+            q = xm(norm(q))  # (n, l) sharded
     # Final orthonormalization: Householder QR matches the reference's
     # economy-QR semantics (linalg.rs:127-147); CholeskyQR2 is the
     # matmul-only choice for sharded fits.
     if final_orth == "auto":
         final_orth = "qr" if normalizer == "qr" else "cholqr2"
-    q = jnp.linalg.qr(q, mode="reduced")[0] if final_orth == "qr" else (
-        cholesky_qr2(q)
-    )
-    b = xtm(q).conj().T  # (l, d) replicated: Qᴴ·Xc via one psum
-    u_b, sigma, vt = svd_jit(b)
-    u = mdot(q, u_b)  # (n, l) sharded
+    with jax.named_scope("orthonormalize"):
+        q = jnp.linalg.qr(q, mode="reduced")[0] if final_orth == "qr" else (
+            cholesky_qr2(q)
+        )
+    with jax.named_scope("project"):
+        b = xtm(q).conj().T  # (l, d) replicated: Qᴴ·Xc via one psum
+    with jax.named_scope("svd_b"):
+        u_b, sigma, vt = svd_jit(b)
+    with jax.named_scope("recover_u"):
+        u = mdot(q, u_b)  # (n, l) sharded
     u, vt = svd_flip(u, vt)
     return {
         "u": u,
@@ -227,8 +235,10 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     d = x.shape[1]
     k = min(n, d) if n_components is None else min(n_components, n, d)
     means, xm, _, gram, _ = _contractions(x, True, n_valid, fuse_centering)
-    c = gram()  # (d, d) psum
-    lam, v = eigh_psd_jit(c)
+    with jax.named_scope("whiten_gram"):
+        c = gram()  # (d, d) psum
+    with jax.named_scope("whiten_eigh"):
+        lam, v = eigh_psd_jit(c)
     lam = lam[::-1][:k]
     v_k = v[:, ::-1][:, :k]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
@@ -239,10 +249,11 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     x1 = (y1 * jnp.sqrt(jnp.asarray(n, x.dtype))).T  # (k, n) col-sharded
 
     w_init = rng_util.normal(key, (k, k), x.dtype)
-    w, lim, n_iter = _ica_par_core(
+    with jax.named_scope("ica_par"):
+        w, lim, n_iter = _ica_par_core(
         x1, jnp.asarray(tol, jnp.real(x).dtype), max_iter, w_init, fun,
-        n_valid=n_valid, use_pallas=False,  # kernel is single-device
-    )
+            n_valid=n_valid, use_pallas=False,  # kernel is single-device
+        )
     components = mdot(w, kmat)  # (k, d) replicated
     return {
         "components": components,

@@ -14,7 +14,6 @@ be used.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 

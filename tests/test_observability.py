@@ -42,3 +42,11 @@ def test_stats_not_serialized():
     pca.fit(x)
     loaded = from_bytes(to_bytes(pca))
     assert not hasattr(loaded, "last_fit_stats_")
+
+
+def test_multihost_helpers_single_process():
+    from petal_decomposition_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op on single process
+    assert multihost.is_multihost() is False
+    assert multihost.process_index() == 0
