@@ -52,11 +52,19 @@ extern "C" {
 
 // One-sided Jacobi SVD of a (m x n) with m >= n (caller transposes
 // otherwise).  Outputs: u (m x n), s (n), vt (n x n).
+//
+// Works on a column-major copy so every column dot/rotation touches
+// contiguous memory (the inner loops auto-vectorize); the row-major
+// interface layout is restored on output.
 int petal_jacobi_svd(const double* a_in, int m, int n, double* u, double* s,
                      double* vt) {
-  std::vector<double> a(a_in, a_in + static_cast<size_t>(m) * n);
-  std::vector<double> v(static_cast<size_t>(n) * n, 0.0);
-  for (int i = 0; i < n; ++i) v[i * n + i] = 1.0;
+  // ac: n columns of length m, contiguous per column.
+  std::vector<double> ac(static_cast<size_t>(m) * n);
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < n; ++j)
+      ac[static_cast<size_t>(j) * m + i] = a_in[static_cast<size_t>(i) * n + j];
+  std::vector<double> vc(static_cast<size_t>(n) * n, 0.0);
+  for (int j = 0; j < n; ++j) vc[static_cast<size_t>(j) * n + j] = 1.0;
 
   const double eps = 2.22044604925031308e-16;
   const double tol = eps * std::sqrt(static_cast<double>(m));
@@ -65,9 +73,14 @@ int petal_jacobi_svd(const double* a_in, int m, int n, double* u, double* s,
     converged = true;
     for (int p = 0; p < n - 1; ++p) {
       for (int q = p + 1; q < n; ++q) {
-        const double app = col_dot(a.data(), m, n, p, p);
-        const double aqq = col_dot(a.data(), m, n, q, q);
-        const double apq = col_dot(a.data(), m, n, p, q);
+        double* cp = &ac[static_cast<size_t>(p) * m];
+        double* cq = &ac[static_cast<size_t>(q) * m];
+        double app = 0.0, aqq = 0.0, apq = 0.0;
+        for (int i = 0; i < m; ++i) {
+          app += cp[i] * cp[i];
+          aqq += cq[i] * cq[i];
+          apq += cp[i] * cq[i];
+        }
         const double scale = std::sqrt(app * aqq);
         if (scale <= 0.0 || std::fabs(apq) <= eps * scale) continue;
         if (std::fabs(apq) > tol * scale) converged = false;
@@ -76,8 +89,20 @@ int petal_jacobi_svd(const double* a_in, int m, int n, double* u, double* s,
                    (std::fabs(tau) + std::sqrt(1.0 + tau * tau));
         const double c = 1.0 / std::sqrt(1.0 + t * t);
         const double sn = c * t;
-        rotate_cols(a.data(), m, n, p, q, c, sn);
-        rotate_cols(v.data(), n, n, p, q, c, sn);
+        for (int i = 0; i < m; ++i) {
+          const double xp = cp[i];
+          const double xq = cq[i];
+          cp[i] = c * xp - sn * xq;
+          cq[i] = sn * xp + c * xq;
+        }
+        double* wp = &vc[static_cast<size_t>(p) * n];
+        double* wq = &vc[static_cast<size_t>(q) * n];
+        for (int i = 0; i < n; ++i) {
+          const double xp = wp[i];
+          const double xq = wq[i];
+          wp[i] = c * xp - sn * xq;
+          wq[i] = sn * xp + c * xq;
+        }
       }
     }
   }
@@ -86,7 +111,10 @@ int petal_jacobi_svd(const double* a_in, int m, int n, double* u, double* s,
   std::vector<int> order(n);
   std::vector<double> norms(n);
   for (int j = 0; j < n; ++j) {
-    norms[j] = std::sqrt(col_dot(a.data(), m, n, j, j));
+    const double* cj = &ac[static_cast<size_t>(j) * m];
+    double nn = 0.0;
+    for (int i = 0; i < m; ++i) nn += cj[i] * cj[i];
+    norms[j] = std::sqrt(nn);
     order[j] = j;
   }
   std::sort(order.begin(), order.end(),
@@ -95,8 +123,10 @@ int petal_jacobi_svd(const double* a_in, int m, int n, double* u, double* s,
     const int src = order[j];
     s[j] = norms[src];
     const double inv = s[j] > 0 ? 1.0 / s[j] : 0.0;
-    for (int i = 0; i < m; ++i) u[i * n + j] = a[i * n + src] * inv;
-    for (int i = 0; i < n; ++i) vt[j * n + i] = v[i * n + src];
+    const double* cs = &ac[static_cast<size_t>(src) * m];
+    for (int i = 0; i < m; ++i) u[static_cast<size_t>(i) * n + j] = cs[i] * inv;
+    const double* ws = &vc[static_cast<size_t>(src) * n];
+    for (int i = 0; i < n; ++i) vt[static_cast<size_t>(j) * n + i] = ws[i];
   }
   return converged ? 0 : 1;
 }

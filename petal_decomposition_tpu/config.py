@@ -37,6 +37,15 @@ class Config:
     # Check convergence and raise LinalgError on failure.  Disable inside
     # fully-jitted pipelines where host sync is undesirable.
     check_convergence: bool = True
+    # "auto" backend: offload factorizations of problems at most this
+    # many elements to the native host core when the active device is an
+    # accelerator.  Tiny fits are dispatch-latency-bound on TPU; on a
+    # locally-attached host the C++ core wins decisively.  Default 0
+    # (disabled) because this build environment reaches its TPU over a
+    # remote tunnel where host↔device transfers cost ~20 ms each and the
+    # offload measured slower (169 vs 125 ms on the 1000×64 f64 fit);
+    # set to e.g. 1<<18 on hosts with PCIe-attached accelerators.
+    host_offload_max_elements: int = 0
     # Fused Pallas contrast-update kernel for single-device FastICA.
     # Off by default: measured on v5e, XLA's own fusion matches or beats
     # it at k ≤ 256 (9.7 vs 12.1 ms/iter at k=256, n=500k) — the kernel

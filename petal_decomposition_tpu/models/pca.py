@@ -21,6 +21,7 @@ import jax
 
 from ..config import config
 from ..errors import InvalidInput, LinalgError
+from ..ops import linalg as _linalg
 from ..ops.linalg import svd, svd_flip, svd_jit_cert
 from . import _common
 
@@ -178,19 +179,37 @@ class Pca:
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
             self._total_variance = st["total_variance"]
-        elif config.linalg_backend == "native":
-            # Host-native backend: eager path through the C++ core.
+        elif _linalg._use_native(x.dtype, x.shape):
+            # Host-native backend, or a tiny problem on an accelerator
+            # (dispatch-latency-bound) offloaded to the C++ core.  The
+            # whole fit runs host-side: one device→host transfer in,
+            # small arrays back.
+            import numpy as np
+
+            from ..utils import native
+
+            xh = np.asarray(x)
             if self._centering:
-                means = jnp.mean(x, axis=0)
-                xc = x - means
+                means_h = xh.mean(axis=0, dtype=np.float64)
+                xc = xh - means_h
             else:
-                means = jnp.zeros((d,), x.dtype)
-                xc = x
-            u, sigma, vt = svd(xc, compute_vt=True)
-            u, vt = svd_flip(u, vt)
-            # Total variance sums *all* squared singular values
-            # (pca.rs:224).
-            self._total_variance = sigma @ sigma
+                means_h = np.zeros((d,), np.float64)
+                xc = xh
+            u_h, sigma_h, vt_h = native.jacobi_svd(xc)
+            # svd_flip, host-side (reference convention, pca.rs:815-850).
+            idx = np.argmax(np.abs(u_h), axis=0)
+            piv = u_h[idx, np.arange(u_h.shape[1])]
+            signs = np.where(piv < 0, -1.0, 1.0)
+            u_h = u_h * signs[None, :]
+            vt_h = vt_h * signs[:, None]
+            real = jnp.finfo(x.dtype).dtype
+            u = jnp.asarray(u_h, x.dtype)
+            sigma = jnp.asarray(sigma_h, real)
+            vt = jnp.asarray(vt_h, x.dtype)
+            means = jnp.asarray(means_h, x.dtype)
+            self._total_variance = jnp.asarray(
+                float(sigma_h @ sigma_h), real
+            )
         else:
             u, sigma, vt, means, total_var, off = _fit_exact(
                 x, centering=self._centering

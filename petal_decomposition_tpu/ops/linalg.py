@@ -32,6 +32,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import config
 from ..errors import LinalgError
@@ -133,14 +134,26 @@ def svd_jit_cert(a):
     return u, s, vt, jnp.zeros((), s.dtype)
 
 
-def _use_native(dtype) -> bool:
-    if config.linalg_backend != "native":
-        return False
+def _use_native(dtype, shape=None) -> bool:
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False  # native core is real-valued; Jacobi handles complex
-    from ..utils import native
+    if config.linalg_backend == "native":
+        from ..utils import native
 
-    return native.available()
+        return native.available()
+    if (
+        config.linalg_backend == "auto"
+        and shape is not None
+        and config.host_offload_max_elements > 0
+        and int(np.prod(shape)) <= config.host_offload_max_elements
+        and jax.default_backend() != "cpu"
+    ):
+        # Tiny problem on an accelerator: dispatch latency dominates —
+        # the host-native core (the reference's own architecture) wins.
+        from ..utils import native
+
+        return native.available()
+    return False
 
 
 def svd(a, compute_vt: bool = True):
@@ -151,9 +164,7 @@ def svd(a, compute_vt: bool = True):
     or ``None``; k = min(m, n).
     """
     a = jnp.asarray(a)
-    if _use_native(a.dtype):
-        import numpy as np
-
+    if not isinstance(a, jax.core.Tracer) and _use_native(a.dtype, a.shape):
         from ..utils import native
 
         u, s, vt = native.jacobi_svd(np.asarray(a))
@@ -187,9 +198,7 @@ def eigh(a):
     Returns ``(w, v)``; eigenvectors are the columns of ``v``.
     """
     a = jnp.asarray(a)
-    if _use_native(a.dtype):
-        import numpy as np
-
+    if not isinstance(a, jax.core.Tracer) and _use_native(a.dtype, a.shape):
         from ..utils import native
 
         w, v = native.jacobi_eigh(np.asarray(a))
