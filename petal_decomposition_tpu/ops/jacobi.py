@@ -250,6 +250,18 @@ def jacobi_svd(a, *, compute_v: bool = True, max_sweeps: int | None = None,
         )
         a_rot = jnp.dot(q_f, r_rot, precision=config.matmul_precision)
         sweeps = jnp.asarray(-1, jnp.int32)
+    elif m >= 3 * n and m * n >= (1 << 20):
+        # Large tall matrix, no kernel available (f64/complex/CPU):
+        # still QR-precondition so the rotation loop works on the n×n
+        # R — each of the ~n·sweeps sequential steps shrinks from
+        # O(m·n) to O(n²) (LAPACK's gesvj applies the same
+        # preconditioning).  Small matrices skip this: their step cost
+        # is dispatch-dominated, not size-dominated.
+        q_f, r_f = jnp.linalg.qr(a, mode="reduced")
+        r_rot, v, off, sweeps = _jacobi_svd_core(
+            r_f, compute_v=True, max_sweeps=max_sweeps, update=update
+        )
+        a_rot = jnp.dot(q_f, r_rot, precision=config.matmul_precision)
     else:
         a_rot, v, off, sweeps = _jacobi_svd_core(
             a, compute_v=True, max_sweeps=max_sweeps, update=update

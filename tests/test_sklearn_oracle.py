@@ -85,6 +85,7 @@ def test_sym_decorrelation_matches_sklearn():
     np.testing.assert_allclose(ours, theirs, atol=1e-10)
 
 
+@pytest.mark.filterwarnings("ignore::UserWarning")
 def test_ica_par_matches_sklearn_fixed_iterations():
     """Same whitened data + same w_init + fixed iteration count (tol=0
     so neither converges early) → identical unmixing matrices.  The two
