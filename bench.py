@@ -114,6 +114,26 @@ ICA_N = 100_000
 ICA_ITERS = 50
 
 
+def _ica_cpu_baseline_iters_per_sec() -> float:
+    """Host numpy/BLAS FastICA iteration rate at the same shape (the
+    reference-equivalent single-threaded-library comparison point)."""
+    rng = np.random.default_rng(0)
+    x1 = rng.standard_normal((ICA_K, ICA_N)).astype(np.float32)
+    w = rng.standard_normal((ICA_K, ICA_K)).astype(np.float32)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wx = w @ x1
+        g = np.tanh(wx)
+        g_wtx = (1 - g * g).mean(axis=1)
+        w1 = (g @ x1.T) / ICA_N - g_wtx[:, None] * w
+        # symmetric decorrelation
+        lam, e = np.linalg.eigh(w1 @ w1.T)
+        w = (e / np.sqrt(lam)) @ e.T @ w1
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
 def _ica_iters_per_sec() -> float:
     """FastICA iteration throughput (BASELINE 'iters/sec' metric):
     timed on the jitted ica_par core at the eval-config-3 shape
@@ -170,6 +190,9 @@ def main() -> None:
             "k": K,
             "power_iters": POWER_ITERS,
             "fastica_iters_per_sec_64x100k": round(ica_ips, 1),
+            "fastica_cpu_baseline_iters_per_sec": round(
+                _ica_cpu_baseline_iters_per_sec(), 1
+            ),
             "device": info["device"],
         },
     }

@@ -218,11 +218,13 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
 
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "n_valid",
-                                   "fuse_centering", "n_components"))
+                                   "fuse_centering", "n_components",
+                                   "decorrelation"))
 def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
                  max_iter: int = 200, n_valid: int | None = None,
                  fuse_centering: bool = True,
-                 n_components: int | None = None):
+                 n_components: int | None = None,
+                 decorrelation: str = "eigh"):
     """FastICA with Gram/eigh whitening as one sharded XLA computation.
 
     Whitening reduces over samples once (d×d psum); each ``ica_par``
@@ -253,6 +255,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
         w, lim, n_iter = _ica_par_core(
         x1, jnp.asarray(tol, jnp.real(x).dtype), max_iter, w_init, fun,
             n_valid=n_valid, use_pallas=False,  # kernel is single-device
+            decorrelation=decorrelation,
         )
     components = mdot(w, kmat)  # (k, d) replicated
     return {

@@ -175,3 +175,29 @@ def test_fast_ica_n_components_extension():
 
     with pytest.raises(InvalidInput):
         FastIcaBuilder().seed(1).n_components(10).build().fit(x)
+
+
+def test_ns_decorrelation_matches_eigh():
+    from petal_decomposition_tpu.models.fast_ica import (
+        symmetric_decorrelation_ns,
+    )
+
+    rng = np.random.default_rng(31)
+    w = rng.standard_normal((12, 12))
+    a = np.asarray(symmetric_decorrelation(w))
+    b = np.asarray(symmetric_decorrelation_ns(w))
+    assert np.abs(a - b).max() < 1e-9
+    assert np.abs(b @ b.T - np.eye(12)).max() < 1e-9
+
+
+def test_fast_ica_ns_decorrelation_recovers_sources():
+    rng = np.random.default_rng(37)
+    n = 3000
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n))], axis=1
+    )
+    x = s @ np.array([[1.0, 0.5], [0.2, 1.0]])
+    ica = FastIcaBuilder().seed(RNG_SEED).decorrelation("ns").build()
+    y = np.asarray(ica.fit_transform(x))
+    corr = np.abs(np.corrcoef(y.T, s.T)[:2, 2:])
+    assert np.all(corr.max(axis=1) > 0.95)
