@@ -211,11 +211,16 @@ class Pca:
                 float(sigma_h @ sigma_h), real
             )
         else:
+            from ..ops.jacobi import warm_kernel_probes
+
+            warm_kernel_probes(x.dtype)
             u, sigma, vt, means, total_var, off = _fit_exact(
                 x, centering=self._centering
             )
             if config.check_convergence:
-                tol = float(jnp.finfo(sigma.dtype).eps) * (max(n, d) ** 0.5) * 4
+                tol = max(
+                    float(jnp.finfo(sigma.dtype).eps) * 4, 2.0 ** -45
+                ) * (max(n, d) ** 0.5)
                 if float(off) > tol:
                     raise LinalgError(
                         "singular value decomposition did not converge"

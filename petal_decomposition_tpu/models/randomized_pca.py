@@ -243,8 +243,10 @@ class RandomizedPca:
         # Single-device fit as ONE jitted XLA computation (explicit
         # centering and Householder final QR for reference-parity
         # rounding; the Halko flow is identical to pca.rs:665-718).
+        from ..ops.jacobi import warm_kernel_probes
         from ..parallel.distributed import randomized_pca_fit
 
+        warm_kernel_probes(x.dtype)
         st = randomized_pca_fit(
             x, subkey,
             n_components=k,

@@ -206,6 +206,39 @@ def _vmem_kernel_ok(a, m: int, n: int) -> bool:
     return jk.kernel_available()
 
 
+def _vmem_f64_kernel_ok(a, m: int, n: int) -> bool:
+    """Use the df64 VMEM kernel?  (f64 on TPU, VMEM budget for the f32
+    pairs, compile probe passed.)"""
+    import jax.core
+
+    from .pallas import jacobi_f64_kernel as jk64
+
+    if jax.default_backend() == "cpu":
+        return False
+    if not jk64.supports(m, n, a.dtype):
+        return False
+    if isinstance(a, jax.core.Tracer):
+        return jk64.probed() is True
+    return jk64.kernel_available()
+
+
+def warm_kernel_probes(dtype) -> None:
+    """Run the one-time Pallas compile probes eagerly so subsequently
+    traced (jitted) pipelines can dispatch the VMEM kernels — under
+    tracing only an already-run probe counts."""
+    if jax.default_backend() == "cpu":
+        return
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float32:
+        from .pallas import jacobi_kernels
+
+        jacobi_kernels.kernel_available()
+    elif dtype == jnp.float64:
+        from .pallas import jacobi_f64_kernel
+
+        jacobi_f64_kernel.kernel_available()
+
+
 def jacobi_svd(a, *, compute_v: bool = True, max_sweeps: int | None = None,
                update: str | None = None):
     """Thin SVD via one-sided Jacobi: ``a = U diag(s) Vᴴ``.
@@ -238,6 +271,24 @@ def jacobi_svd(a, *, compute_v: bool = True, max_sweeps: int | None = None,
             a, max_sweeps=max_sweeps
         )
         sweeps = jnp.asarray(-1, jnp.int32)  # not tracked in-kernel
+    elif _vmem_f64_kernel_ok(a, m, n):
+        from .pallas import jacobi_f64_kernel
+
+        a_rot, v, off = jacobi_f64_kernel.jacobi_svd_vmem_f64(
+            a, max_sweeps=max_sweeps
+        )
+        sweeps = jnp.asarray(-1, jnp.int32)
+    elif _vmem_f64_kernel_ok(a, n + (n % 2), n) and m >= 3 * n:
+        # Tall f64: Householder QR (XLA, backward-stable) + df64 VMEM
+        # Jacobi on the n×n R factor.
+        from .pallas import jacobi_f64_kernel
+
+        q_f, r_f = jnp.linalg.qr(a, mode="reduced")
+        r_rot, v, off = jacobi_f64_kernel.jacobi_svd_vmem_f64(
+            r_f, max_sweeps=max_sweeps
+        )
+        a_rot = jnp.dot(q_f, r_rot, precision=config.matmul_precision)
+        sweeps = jnp.asarray(-1, jnp.int32)
     elif _vmem_kernel_ok(a, n + (n % 2), n) and not jnp.iscomplexobj(a):
         # Tall matrix whose n×n R factor fits the kernel:
         # QR-precondition (backward-stable Householder, one XLA call),

@@ -175,7 +175,11 @@ def svd(a, compute_vt: bool = True):
         return u, s, vt
     if _use_jacobi(a.dtype):
         u, s, vt, off, _ = jacobi_svd(a, compute_v=True)
-        tol = float(jnp.finfo(s.dtype).eps) * (max(a.shape) ** 0.5) * 4
+        # max(...) accommodates the df64 kernel's 2^-48 working
+        # precision on the f64 path; unchanged for f32.
+        tol = max(float(jnp.finfo(s.dtype).eps) * 4, 2.0 ** -45) * (
+            max(a.shape) ** 0.5
+        )
         _check_converged(off, tol, "singular value decomposition")
     else:
         u, s, vt = jnp.linalg.svd(a, full_matrices=False)
