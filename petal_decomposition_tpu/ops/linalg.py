@@ -103,12 +103,28 @@ def eigh_psd_jit(a):
     Every internal eigh in this library (W·Wᵀ decorrelation, Gram
     whitening, covariance PCA) is PSD, so a one-sided-Jacobi route
     (σ = λ, right vectors = eigenvectors) is always valid here.
-    Measured on v5e, XLA's built-in f32 eigh (QDWH, MXU-dense) matches
-    or beats the VMEM Jacobi kernel at k ≤ 512 (e.g. 13.1 vs 27.3 ms at
-    k=512), so this currently delegates to the standard dispatch; the
-    PSD entry point is kept so callers express the stronger contract
-    and the implementation can specialize later.
+
+    f32: XLA's built-in eigh (QDWH, MXU-dense) measured faster than the
+    VMEM kernel at k ≤ 512 (13.1 vs 27.3 ms at k=512) — delegate.
+    f64 on TPU: there is no fast built-in (the XLA Jacobi formulation is
+    dispatch-bound), so the df64 VMEM kernel applied to the symmetric
+    matrix itself wins by ~10×.
     """
+    if (
+        config.linalg_backend in ("auto", "jacobi")
+        and a.dtype == jnp.float64
+        and jax.default_backend() != "cpu"
+    ):
+        from .pallas import jacobi_f64_kernel as jk64
+
+        n = a.shape[0]
+        tracing = isinstance(a, jax.core.Tracer)
+        ok = jk64.probed() is True if tracing else jk64.kernel_available()
+        if ok and jk64.supports(n, n, a.dtype):
+            a_rot, v, _ = jk64.jacobi_svd_vmem_f64(a)
+            lam = jnp.sqrt(jnp.sum(a_rot * a_rot, axis=0))
+            order = jnp.argsort(lam)  # ascending, LAPACK convention
+            return jnp.take(lam, order), jnp.take(v, order, axis=1)
     return eigh_jit(a)
 
 
