@@ -57,6 +57,12 @@ class Config:
         if self.linalg_backend not in ("auto", "jacobi", "xla", "native"):
             raise ValueError(f"unknown linalg backend: {self.linalg_backend}")
 
+    def cache_key(self) -> tuple:
+        """Hashable snapshot of the fields that alter traced programs.
+        Jitted fit pipelines take this as a static argument so config
+        changes retrace instead of silently reusing stale dispatch."""
+        return (self.linalg_backend, self.matmul_precision)
+
 
 config = Config(
     linalg_backend=os.environ.get("PETAL_LINALG_BACKEND", "auto"),

@@ -32,6 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..config import config as _config
 from ..errors import InvalidInput
 from ..ops import linalg as _linalg
 from ..ops.linalg import eigh_psd_jit, mdot, svd
@@ -123,11 +124,11 @@ def logcosh(x):
 
 
 @partial(jax.jit, static_argnames=("max_iter", "fun", "n_valid",
-                                   "use_pallas", "decorrelation"))
+                                   "use_pallas", "decorrelation", "cfg"))
 def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
                   n_valid: int | None = None,
                   use_pallas: bool | None = None,
-                  decorrelation: str = "eigh"):
+                  decorrelation: str = "eigh", cfg=None):
     """The FastICA fixed-point iteration (ref: ica.rs:319-361).
 
     ``n_valid`` (static): number of real sample columns when ``x`` is
@@ -213,7 +214,7 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
         x, jnp.asarray(tol, jnp.real(x).dtype), int(max_iter),
         jnp.asarray(w_init), fun,
         use_pallas=resolve_use_pallas(x.shape[0], x.dtype),
-        decorrelation=decorrelation,
+        decorrelation=decorrelation, cfg=_config.cache_key(),
     )
     return w, int(n_iter)
 
@@ -345,6 +346,7 @@ class FastIca:
                 n_valid=n_true if n_true != x_sh.shape[0] else None,
                 n_components=self._n_components,
                 decorrelation=self._decorrelation,
+                cfg=_config.cache_key(),
             )
             self._components = st["components"]
             self._means = st["means"]

@@ -28,8 +28,8 @@ from . import _common
 __all__ = ["Pca", "PcaBuilder"]
 
 
-@partial(jax.jit, static_argnames=("centering",))
-def _fit_exact(x, *, centering: bool):
+@partial(jax.jit, static_argnames=("centering", "cfg"))
+def _fit_exact(x, *, centering: bool, cfg=None):
     """Whole exact-SVD fit as one XLA computation: centering, thin SVD
     (Jacobi on TPU), deterministic sign flip, total variance.  A single
     device dispatch instead of one per op — the Rust pipeline's
@@ -147,6 +147,26 @@ class Pca:
             y, self._components, self._means, self._centering
         )
 
+    @staticmethod
+    def _auto_prefers_gram(x) -> bool:
+        """On TPU, wide f32 matrices beyond the VMEM Jacobi kernel's
+        reach would fall to the dispatch-bound XLA Jacobi formulation
+        (minutes at d ≈ 4096); the Gram/eigh path (XLA's MXU-dense QDWH
+        eigh handles d=4096 f32 directly) is the practical choice there.
+        Accuracy trade: σ through the Gram square to ~eps·κ(X)² — at the
+        f32 noise floor for reasonably-conditioned data; pass
+        ``solver="full"`` to force the direct SVD regardless."""
+        if x.dtype != jnp.float32:
+            return False
+        if jax.default_backend() == "cpu":
+            return False  # LAPACK handles any width
+        from ..ops.pallas import jacobi_kernels
+
+        n, d = x.shape
+        direct_ok = jacobi_kernels.supports(n, d, x.dtype)
+        qr_precond_ok = jacobi_kernels.supports(d + (d % 2), d, x.dtype)
+        return not (direct_ok or qr_precond_ok)
+
     def _inner_fit(self, x):
         """ref: pca.rs:195-231."""
         k = self._n_components
@@ -161,7 +181,8 @@ class Pca:
             return jnp.zeros((0, d), x.dtype)
 
         use_gram = self._solver == "gram" or (
-            self._solver == "auto" and self._mesh is not None
+            self._solver == "auto"
+            and (self._mesh is not None or self._auto_prefers_gram(x))
         )
         n_valid = None
         if self._mesh is not None:
@@ -174,7 +195,8 @@ class Pca:
             from ..parallel.distributed import pca_fit_gram
 
             st = pca_fit_gram(
-                x, centering=self._centering, n_valid=n_valid
+                x, centering=self._centering, n_valid=n_valid,
+                cfg=config.cache_key(),
             )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
@@ -215,7 +237,7 @@ class Pca:
 
             warm_kernel_probes(x.dtype)
             u, sigma, vt, means, total_var, off = _fit_exact(
-                x, centering=self._centering
+                x, centering=self._centering, cfg=config.cache_key()
             )
             if config.check_convergence:
                 tol = max(

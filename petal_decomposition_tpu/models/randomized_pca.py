@@ -26,6 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import config as _config
 from ..errors import InvalidInput
 from ..ops.linalg import cholesky_qr2, lu_pl, mdot, qr, svd_flip, svddc
 from ..utils import rng as rng_util
@@ -229,6 +230,7 @@ class RandomizedPca:
                 n_power_iters=self._n_power_iters,
                 normalizer=self._normalizer,
                 n_valid=n_true if n_true != x_sh.shape[0] else None,
+                cfg=_config.cache_key(),
             )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
@@ -256,6 +258,7 @@ class RandomizedPca:
             normalizer=self._normalizer,
             fuse_centering=False,
             final_orth="qr",
+            cfg=_config.cache_key(),
         )
         u, sigma, vt = st["u"], st["sigma"], st["vt"]
         means = st["means"]

@@ -106,9 +106,10 @@ def _contractions(x, centering: bool, n_valid: int | None,
     )
 
 
-@partial(jax.jit, static_argnames=("centering", "n_valid", "fuse_centering"))
+@partial(jax.jit, static_argnames=("centering", "n_valid", "fuse_centering",
+                                   "cfg"))
 def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
-                 fuse_centering: bool = True):
+                 fuse_centering: bool = True, cfg=None):
     """Exact PCA via the covariance eigenproblem.
 
     ``C = XᵀX`` (one psum), ``eigh(C)`` replicated, thin
@@ -152,6 +153,7 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
         "n_valid",
         "fuse_centering",
         "final_orth",
+        "cfg",
     ),
 )
 def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
@@ -159,7 +161,7 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                        normalizer: str = "cholqr2",
                        n_valid: int | None = None,
                        fuse_centering: bool = True,
-                       final_orth: str = "auto"):
+                       final_orth: str = "auto", cfg=None):
     """Halko randomized SVD as one sharded XLA computation.
 
     Mirrors the single-device pipeline (pca.rs:665-718) with the
@@ -219,12 +221,12 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "n_valid",
                                    "fuse_centering", "n_components",
-                                   "decorrelation"))
+                                   "decorrelation", "cfg"))
 def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
                  max_iter: int = 200, n_valid: int | None = None,
                  fuse_centering: bool = True,
                  n_components: int | None = None,
-                 decorrelation: str = "eigh"):
+                 decorrelation: str = "eigh", cfg=None):
     """FastICA with Gram/eigh whitening as one sharded XLA computation.
 
     Whitening reduces over samples once (d×d psum); each ``ica_par``
@@ -255,7 +257,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
         w, lim, n_iter = _ica_par_core(
         x1, jnp.asarray(tol, jnp.real(x).dtype), max_iter, w_init, fun,
             n_valid=n_valid, use_pallas=False,  # kernel is single-device
-            decorrelation=decorrelation,
+            decorrelation=decorrelation, cfg=cfg,
         )
     components = mdot(w, kmat)  # (k, d) replicated
     return {

@@ -50,3 +50,19 @@ def test_multihost_helpers_single_process():
     multihost.initialize()  # no-op on single process
     assert multihost.is_multihost() is False
     assert multihost.process_index() == 0
+
+
+def test_config_change_retraces_jitted_fit():
+    """Jitted fits key their cache on config.cache_key(): switching the
+    linalg backend after a fit must not silently reuse stale dispatch."""
+    from petal_decomposition_tpu import config
+
+    x = np.random.default_rng(5).standard_normal((40, 6))
+    y1 = np.asarray(Pca(2).fit_transform(x))
+    old = config.linalg_backend
+    config.linalg_backend = "xla"
+    try:
+        y2 = np.asarray(Pca(2).fit_transform(x))
+    finally:
+        config.linalg_backend = old
+    np.testing.assert_allclose(y1, y2, atol=1e-9)
