@@ -184,3 +184,20 @@ def test_pca_complex():
     pca2.fit(x)
     y2 = np.asarray(pca2.transform(x))
     assert np.abs(y - y2).max() < 1e-10
+
+
+def test_pca_gram_solver_wide_matrix():
+    """Gram path with n < d (rank-deficient covariance)."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((10, 25))
+    y_g = np.asarray(Pca(4, solver="gram").fit_transform(x))
+    y_f = np.asarray(Pca(4, solver="full").fit_transform(x))
+    np.testing.assert_allclose(y_g, y_f, atol=1e-7)
+
+
+def test_pca_integer_input_upcasts():
+    x = np.arange(24).reshape(8, 3)
+    pca = Pca(2)
+    y = np.asarray(pca.fit_transform(x))
+    assert y.dtype == np.float64
+    assert np.all(np.isfinite(y))
