@@ -91,21 +91,24 @@ def _cpu_baseline_seconds() -> float:
     x = rng.standard_normal((CPU_SAMPLE_ROWS, N_COLS)).astype(np.float32)
     l = K + OVERSAMPLES
 
-    t0 = time.perf_counter()
-    mu = x.mean(axis=0)
-    xc = x - mu
-    omega = rng.standard_normal((N_COLS, l)).astype(np.float32)
-    q = xc @ omega
-    for _ in range(POWER_ITERS):
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        mu = x.mean(axis=0)
+        xc = x - mu
+        omega = rng.standard_normal((N_COLS, l)).astype(np.float32)
+        q = xc @ omega
+        for _ in range(POWER_ITERS):
+            q, _ = np.linalg.qr(q)
+            q = xc.T @ q
+            q, _ = np.linalg.qr(q)
+            q = xc @ q
         q, _ = np.linalg.qr(q)
-        q = xc.T @ q
-        q, _ = np.linalg.qr(q)
-        q = xc @ q
-    q, _ = np.linalg.qr(q)
-    b = q.T @ xc
-    u_b, s, vt = np.linalg.svd(b, full_matrices=False)
-    _ = q @ u_b
-    dt = time.perf_counter() - t0
+        b = q.T @ xc
+        u_b, s, vt = np.linalg.svd(b, full_matrices=False)
+        _ = q @ u_b
+        return time.perf_counter() - t0
+
+    dt = float(np.median([run_once() for _ in range(3)]))
     return dt * (N_ROWS / CPU_SAMPLE_ROWS)
 
 
