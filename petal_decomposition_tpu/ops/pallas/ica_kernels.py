@@ -76,7 +76,9 @@ def _kernel(fun: str, w_ref, x_ref, gx_ref, gsum_ref):
     )
 
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom under the ~16 MB/core
+# Budget must leave room for Pallas's automatic double-buffering of the
+# streamed x tile (×2) plus compiler headroom under the ~16 MB/core.
+_VMEM_BUDGET = 5 * 1024 * 1024
 
 
 def _pick_tile(k: int, tile: int, n: int) -> int:
