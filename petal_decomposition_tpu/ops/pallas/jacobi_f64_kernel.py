@@ -209,13 +209,17 @@ def kernel_available() -> bool:
     if jax.default_backend() == "cpu":
         _probe_result = False
         return False
-    try:
-        x = jnp.asarray(np.eye(8) + 0.1, jnp.float64)
-        out = jacobi_svd_vmem_f64(x, max_sweeps=2)
-        jax.block_until_ready(out)
-        _probe_result = True
-    except Exception:
-        _probe_result = False
+    # One retry: transient remote-compile failures must not pin the slow
+    # path for the whole process.
+    for _ in range(2):
+        try:
+            x = jnp.asarray(np.eye(8) + 0.1, jnp.float64)
+            out = jacobi_svd_vmem_f64(x, max_sweeps=2)
+            jax.block_until_ready(out)
+            _probe_result = True
+            break
+        except Exception:
+            _probe_result = False
     return _probe_result
 
 

@@ -212,13 +212,17 @@ def kernel_available() -> bool:
     if jax.default_backend() == "cpu":
         _probe_result = False
         return False
-    try:
-        x = jnp.ones((8, 8), jnp.float32)
-        arot, v, off = jacobi_svd_vmem(x, max_sweeps=2)
-        jax.block_until_ready((arot, v, off))
-        _probe_result = True
-    except Exception:
-        _probe_result = False
+    # One retry: the remote compile service can fail transiently, and a
+    # cached False would silently pin the slow path for the process.
+    for _ in range(2):
+        try:
+            x = jnp.ones((8, 8), jnp.float32)
+            arot, v, off = jacobi_svd_vmem(x, max_sweeps=2)
+            jax.block_until_ready((arot, v, off))
+            _probe_result = True
+            break
+        except Exception:
+            _probe_result = False
     return _probe_result
 
 
