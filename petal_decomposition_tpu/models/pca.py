@@ -22,7 +22,7 @@ import jax
 from ..config import config
 from ..errors import InvalidInput, LinalgError
 from ..ops import linalg as _linalg
-from ..ops.linalg import svd, svd_flip, svd_jit_cert
+from ..ops.linalg import svd_flip, svd_jit_cert
 from . import _common
 
 __all__ = ["Pca", "PcaBuilder"]
