@@ -335,9 +335,11 @@ class FastIca:
             return jnp.zeros((d, 0), x.dtype)
 
         if self._mesh is not None:
+            from ..ops.jacobi import warm_kernel_probes
             from ..parallel.distributed import fast_ica_fit
             from ..parallel.mesh import shard_rows_padded
 
+            warm_kernel_probes(x.dtype)
             self._key, subkey = jax.random.split(self._key)
             x_sh, n_true = shard_rows_padded(x, self._mesh)
             st = fast_ica_fit(

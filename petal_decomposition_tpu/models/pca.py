@@ -192,8 +192,10 @@ class Pca:
             n_valid = n_true if n_true != x.shape[0] else None
 
         if use_gram:
+            from ..ops.jacobi import warm_kernel_probes
             from ..parallel.distributed import pca_fit_gram
 
+            warm_kernel_probes(x.dtype)
             st = pca_fit_gram(
                 x, centering=self._centering, n_valid=n_valid,
                 cfg=config.cache_key(),

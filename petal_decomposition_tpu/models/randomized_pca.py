@@ -218,9 +218,11 @@ class RandomizedPca:
         self._key, subkey = jax.random.split(self._key)
 
         if self._mesh is not None:
+            from ..ops.jacobi import warm_kernel_probes
             from ..parallel.distributed import randomized_pca_fit
             from ..parallel.mesh import shard_rows_padded
 
+            warm_kernel_probes(x.dtype)
             x_sh, n_true = shard_rows_padded(x, self._mesh)
             st = randomized_pca_fit(
                 x_sh, subkey,
