@@ -335,21 +335,22 @@ class FastIca:
             return jnp.zeros((d, 0), x.dtype)
 
         if self._mesh is not None:
-            from ..ops.jacobi import warm_kernel_probes
+            from ..ops.jacobi import disable_vmem_kernels
             from ..parallel.distributed import fast_ica_fit
             from ..parallel.mesh import shard_rows_padded
 
-            warm_kernel_probes(x.dtype)
             self._key, subkey = jax.random.split(self._key)
             x_sh, n_true = shard_rows_padded(x, self._mesh)
-            st = fast_ica_fit(
-                x_sh, subkey,
-                fun=self._fun, tol=self._tol, max_iter=self._max_iter,
-                n_valid=n_true if n_true != x_sh.shape[0] else None,
-                n_components=self._n_components,
-                decorrelation=self._decorrelation,
-                cfg=_config.cache_key(),
-            )
+            # Sharded trace: pallas_call has no GSPMD partitioning rule.
+            with disable_vmem_kernels():
+                st = fast_ica_fit(
+                    x_sh, subkey,
+                    fun=self._fun, tol=self._tol, max_iter=self._max_iter,
+                    n_valid=n_true if n_true != x_sh.shape[0] else None,
+                    n_components=self._n_components,
+                    decorrelation=self._decorrelation,
+                    cfg=_config.cache_key() + ("nokernels",),
+                )
             self._components = st["components"]
             self._means = st["means"]
             self._n_iter = int(st["n_iter"])

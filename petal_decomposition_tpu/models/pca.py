@@ -192,14 +192,24 @@ class Pca:
             n_valid = n_true if n_true != x.shape[0] else None
 
         if use_gram:
-            from ..ops.jacobi import warm_kernel_probes
+            import contextlib
+
+            from ..ops.jacobi import disable_vmem_kernels, warm_kernel_probes
             from ..parallel.distributed import pca_fit_gram
 
-            warm_kernel_probes(x.dtype)
-            st = pca_fit_gram(
-                x, centering=self._centering, n_valid=n_valid,
-                cfg=config.cache_key(),
-            )
+            # Sharded traces must be kernel-free: pallas_call has no
+            # GSPMD partitioning rule.  Single-device gram fits keep the
+            # VMEM kernels (separate cache key per mode).
+            if self._mesh is not None:
+                ctx, suffix = disable_vmem_kernels(), ("nokernels",)
+            else:
+                warm_kernel_probes(x.dtype)
+                ctx, suffix = contextlib.nullcontext(), ()
+            with ctx:
+                st = pca_fit_gram(
+                    x, centering=self._centering, n_valid=n_valid,
+                    cfg=config.cache_key() + suffix,
+                )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
             self._total_variance = st["total_variance"]

@@ -218,22 +218,23 @@ class RandomizedPca:
         self._key, subkey = jax.random.split(self._key)
 
         if self._mesh is not None:
-            from ..ops.jacobi import warm_kernel_probes
+            from ..ops.jacobi import disable_vmem_kernels
             from ..parallel.distributed import randomized_pca_fit
             from ..parallel.mesh import shard_rows_padded
 
-            warm_kernel_probes(x.dtype)
             x_sh, n_true = shard_rows_padded(x, self._mesh)
-            st = randomized_pca_fit(
-                x_sh, subkey,
-                n_components=k,
-                centering=self._centering,
-                n_oversamples=self._n_oversamples,
-                n_power_iters=self._n_power_iters,
-                normalizer=self._normalizer,
-                n_valid=n_true if n_true != x_sh.shape[0] else None,
-                cfg=_config.cache_key(),
-            )
+            # Sharded trace: pallas_call has no GSPMD partitioning rule.
+            with disable_vmem_kernels():
+                st = randomized_pca_fit(
+                    x_sh, subkey,
+                    n_components=k,
+                    centering=self._centering,
+                    n_oversamples=self._n_oversamples,
+                    n_power_iters=self._n_power_iters,
+                    normalizer=self._normalizer,
+                    n_valid=n_true if n_true != x_sh.shape[0] else None,
+                    cfg=_config.cache_key() + ("nokernels",),
+                )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
             self._total_variance = st["total_variance"]
