@@ -36,6 +36,12 @@ def test_randomized_pca_golden_regression():
 
 
 def test_fast_ica_golden_regression():
+    from petal_decomposition_tpu import config
+
+    if config.linalg_backend not in ("auto", "jacobi"):
+        import pytest
+
+        pytest.skip("golden values pinned for the default jacobi eigh")
     rng = np.random.default_rng(0)
     rng.standard_normal((20, 6))  # keep the stream aligned with the gen script
     s = np.stack(
