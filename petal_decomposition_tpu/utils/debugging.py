@@ -27,12 +27,8 @@ __all__ = ["nan_debugging", "check_finite"]
 @contextlib.contextmanager
 def nan_debugging():
     """Raise at the first op producing NaN/Inf inside the context."""
-    prev = jax.config.read("jax_debug_nans")
-    jax.config.update("jax_debug_nans", True)
-    try:
+    with jax.debug_nans(True):
         yield
-    finally:
-        jax.config.update("jax_debug_nans", prev)
 
 
 def check_finite(x, what: str = "input") -> None:
