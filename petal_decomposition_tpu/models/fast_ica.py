@@ -21,8 +21,9 @@ Fidelity notes:
   ica.rs:383-398) plus ``exp`` and ``cube`` as extensions.
 
 The iteration is a single jitted ``lax.while_loop``: two MXU matmuls
-(``W·X`` k×k×n and ``G·Xᵀ`` k×n×k) plus a k×k Jacobi eigendecomposition
-per step, so the whole solve stays on-device with no host round-trips.
+(``W·X`` k×k×n and ``G·Xᵀ`` k×n×k) plus the k×k symmetric decorrelation
+(eigh, or matmul-only Newton–Schulz with ``decorrelation="ns"``) per
+step, so the whole solve stays on-device with no host round-trips.
 """
 
 from __future__ import annotations
