@@ -33,7 +33,8 @@ def _fit_exact(x, *, centering: bool, cfg=None):
     """Whole exact-SVD fit as one XLA computation: centering, thin SVD
     (Jacobi on TPU), deterministic sign flip, total variance.  A single
     device dispatch instead of one per op — the Rust pipeline's
-    inner_fit (pca.rs:195-231) as one compiled program."""
+    inner_fit (pca.rs:195-231) as one compiled program.  ``cfg`` is a
+    jit-cache key (config snapshot), unused in-body."""
     n, d = x.shape
     if centering:
         means = jnp.mean(x, axis=0)

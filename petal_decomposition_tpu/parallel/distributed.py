@@ -112,6 +112,8 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
                  fuse_centering: bool = True, cfg=None):
     """Exact PCA via the covariance eigenproblem.
 
+    ``cfg`` is a jit-cache key only (config snapshot); unused in-body.
+
     ``C = XᵀX`` (one psum), ``eigh(C)`` replicated, thin
     ``U = X·V·σ⁻¹`` sharded.  Returns the same fields as the SVD path —
     U/σ/Vᵀ reproduce the full-SVD factorization including the
