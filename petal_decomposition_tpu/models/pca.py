@@ -102,6 +102,7 @@ class Pca:
 
     def explained_variance_ratio(self):
         """σᵢ²/Σσⱼ² over *all* singular values (ref: pca.rs:101-105,224)."""
+        _common.check_fitted(self._singular)
         var = self._singular * self._singular
         return var / self._total_variance
 

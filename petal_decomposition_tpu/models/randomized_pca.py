@@ -163,6 +163,7 @@ class RandomizedPca:
 
     def explained_variance_ratio(self):
         """σᵢ²/‖X−μ‖²_F (ref: pca.rs:414-419 with pca.rs:533)."""
+        _common.check_fitted(self._singular)
         var = self._singular * self._singular
         return var / self._total_variance
 
