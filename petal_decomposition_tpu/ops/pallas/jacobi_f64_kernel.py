@@ -109,17 +109,14 @@ def _svd_kernel(n: int, max_sweeps: int, tol: float, ah_ref, al_ref,
                     jnp.concatenate([nl_l, nr_l], axis=1),
                 )
             # tournament advance: [L0, R0, L1..L_{h-2} | R1.., L_{h-1}]
+            # (middle slice empty at h == 2 — skip it; Mosaic cannot
+            # type zero-width vectors)
             def adv(nl, nr):
-                return jnp.concatenate(
-                    [
-                        nl[:, 0:1],
-                        nr[:, 0:1],
-                        nl[:, 1 : h - 1],
-                        nr[:, 1:],
-                        nl[:, h - 1 : h],
-                    ],
-                    axis=1,
-                )
+                parts = [nl[:, 0:1], nr[:, 0:1]]
+                if h > 2:
+                    parts.append(nl[:, 1 : h - 1])
+                parts.extend([nr[:, 1:], nl[:, h - 1 : h]])
+                return jnp.concatenate(parts, axis=1)
 
             return adv(nl_h, nr_h), adv(nl_l, nr_l)
 
@@ -158,6 +155,11 @@ def supports(m: int, n: int, dtype) -> bool:
     if n < 2:
         return False
     n_pad = n + (n % 2)
+    # Padded-footprint bound: Mosaic lane-pads (m, w) temporaries to 128
+    # lanes and the df64 body keeps roughly twice as many live as the
+    # f32 kernel — same empirical cap applies (see jacobi_kernels).
+    if m * max(n_pad, 128) > 400_000:
+        return False
     working = (8 * m * n_pad + 8 * n_pad * n_pad) * 4
     return working <= _VMEM_BUDGET
 

@@ -120,17 +120,14 @@ def _svd_kernel(n: int, max_sweeps: int, tol: float, a_ref, arot_ref, v_ref,
             nr = sb * xl + cb * xr
             if h == 1:
                 return jnp.concatenate([nl, nr], axis=1)
-            # new L = [L0, R0, L1..L_{h-2}];  new R = [R1.., L_{h-1}]
-            return jnp.concatenate(
-                [
-                    nl[:, 0:1],
-                    nr[:, 0:1],
-                    nl[:, 1 : h - 1],
-                    nr[:, 1:],
-                    nl[:, h - 1 : h],
-                ],
-                axis=1,
-            )
+            # new L = [L0, R0, L1..L_{h-2}];  new R = [R1.., L_{h-1}].
+            # The middle slice is empty when h == 2 — skip it (Mosaic
+            # cannot type zero-width vectors).
+            parts = [nl[:, 0:1], nr[:, 0:1]]
+            if h > 2:
+                parts.append(nl[:, 1 : h - 1])
+            parts.extend([nr[:, 1:], nl[:, h - 1 : h]])
+            return jnp.concatenate(parts, axis=1)
 
         return rot_advance(a), rot_advance(v), off
 
@@ -161,7 +158,12 @@ def supports(m: int, n: int, dtype) -> bool:
     if n < 2:
         return False
     n_pad = n + (n % 2)
-    # a + v + rotation temporaries, f32, with headroom for double use.
+    # Mosaic lane-pads every (m, w) temporary to 128 lanes, and the loop
+    # body keeps tens of them live, so the honest budget is on the
+    # PADDED element count (empirically: 20000×4 f64 pairs blew a 128 MB
+    # vmem accounting at 180 MB; 2048×128 and 512×512 compile fine).
+    if m * max(n_pad, 128) > 400_000:
+        return False
     working = (3 * m * n_pad + 3 * n_pad * n_pad) * 4
     return working <= _VMEM_BUDGET
 
