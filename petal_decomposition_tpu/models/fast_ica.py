@@ -397,7 +397,16 @@ def _whitening_matrix(xt, k: int, solver: str):
         sigma = jnp.sqrt(jnp.maximum(lam, 0.0))
     u_k = u[:, :k]
     sigma_k = sigma[:k]
-    kmat = (u_k / sigma_k.astype(u_k.dtype)[None, :]).T
+    # Degenerate directions (σ ≈ 0 relative to σmax — e.g. the rank
+    # deficiency created by centering when n_samples ≤ n_features)
+    # whiten to zero rather than amplifying roundoff noise by 1/σ.
+    # (The reference reads uninitialized memory here — SURVEY C13; this
+    # is the fixed behavior.)
+    eps = jnp.finfo(sigma_k.dtype).eps
+    cutoff = sigma[0] * eps * 10
+    ok = sigma_k > cutoff
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, sigma_k, 1), 0)
+    kmat = (u_k * inv.astype(u_k.dtype)[None, :]).T
     return kmat, sigma_k
 
 

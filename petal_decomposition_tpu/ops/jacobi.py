@@ -117,14 +117,17 @@ def _step_scatter(a, v, p, q, c, s, phase):
 
 
 def _offdiag_measure(a, prec):
-    """Max relative off-diagonal of AᴴA — the convergence functional."""
+    """Max off-diagonal of AᴴA relative to the largest column norm² —
+    a norm-wise convergence functional.  (A pairwise-relative measure
+    stalls on numerically-zero columns, e.g. the rank-deficient
+    direction mean-centering creates when n_samples < n_features.)"""
     g = jnp.dot(a.conj().T, a, precision=prec)
     d = jnp.real(jnp.diag(g))
-    scale = jnp.sqrt(jnp.abs(jnp.outer(d, d)))
+    dmax = jnp.max(d)
     n = a.shape[1]
     offmask = ~jnp.eye(n, dtype=bool)
-    rel = jnp.abs(g) / jnp.where(scale > 0, scale, 1)
-    return jnp.max(jnp.where(offmask & (scale > 0), rel, 0.0))
+    absoff = jnp.max(jnp.where(offmask, jnp.abs(g), 0.0))
+    return absoff / jnp.where(dmax > 0, dmax, 1)
 
 
 @partial(jax.jit, static_argnames=("compute_v", "max_sweeps", "update"))

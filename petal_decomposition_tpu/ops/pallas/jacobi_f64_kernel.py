@@ -57,10 +57,12 @@ def _svd_kernel(n: int, max_sweeps: int, tol: float, ah_ref, al_ref,
 
         # Convergence measure + skip mask from the hi parts (f32 is
         # plenty to *detect* smallness at the 2^-48 scale relatively).
+        # Norm-wise measure (vs the largest column norm²): pairwise-
+        # relative stalls on numerically-zero columns (rank deficiency).
         scale_f = jnp.sqrt(jnp.maximum(app_h * aqq_h, 0.0))
-        denom_f = jnp.where(scale_f > 0, scale_f, 1.0)
-        rel = jnp.abs(apq_h) / denom_f
-        off = jnp.maximum(off, jnp.max(jnp.where(scale_f > 0, rel, 0.0)))
+        norm2max = jnp.maximum(jnp.max(app_h), jnp.max(aqq_h))
+        rel = jnp.abs(apq_h) / jnp.where(norm2max > 0, norm2max, 1.0)
+        off = jnp.maximum(off, jnp.max(rel))
         skip = jnp.abs(apq_h) <= eps48 * scale_f
 
         sgn = jnp.where(apq_h >= 0, 1.0, -1.0).astype(jnp.float32)

@@ -95,9 +95,11 @@ def _svd_kernel(n: int, max_sweeps: int, tol: float, a_ref, arot_ref, v_ref,
         aqq = jnp.sum(r * r, axis=0)
         apq = jnp.sum(l * r, axis=0)
         scale = jnp.sqrt(app * aqq)
-        denom = jnp.where(scale > 0, scale, 1.0)
-        rel = jnp.abs(apq) / denom
-        off = jnp.maximum(off, jnp.max(jnp.where(scale > 0, rel, 0.0)))
+        # Norm-wise convergence measure (vs the largest column norm²):
+        # a pairwise-relative measure stalls on numerically-zero columns.
+        norm2max = jnp.maximum(jnp.max(app), jnp.max(aqq))
+        rel = jnp.abs(apq) / jnp.where(norm2max > 0, norm2max, 1.0)
+        off = jnp.maximum(off, jnp.max(rel))
         skip = jnp.abs(apq) <= eps * scale
         sgn = jnp.where(apq >= 0, 1.0, -1.0)
         absq = jnp.where(skip, 1.0, jnp.abs(apq))

@@ -248,7 +248,11 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     lam = lam[::-1][:k]
     v_k = v[:, ::-1][:, :k]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
-    inv_sigma = jnp.where(sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1), 0)
+    # Relative cutoff: degenerate directions whiten to zero (see
+    # models.fast_ica._whitening_matrix).
+    cutoff = sigma[0] * jnp.finfo(sigma.dtype).eps * 10
+    ok = sigma > cutoff
+    inv_sigma = jnp.where(ok, 1.0 / jnp.where(ok, sigma, 1), 0)
     kmat = (v_k * inv_sigma.astype(v_k.dtype)[None, :]).T  # (k, d) replicated
     # X₁ = K·Xᵀ·√n, computed sharded-first: (X·V·σ⁻¹)ᵀ·√n
     y1 = xm(v_k) * inv_sigma.astype(x.dtype)[None, :]
