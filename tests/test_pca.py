@@ -201,3 +201,29 @@ def test_pca_integer_input_upcasts():
     y = np.asarray(pca.fit_transform(x))
     assert y.dtype == np.float64
     assert np.all(np.isfinite(y))
+
+
+def test_pca_rank_deficient_centered():
+    """Centering n ≤ d data creates a numerically-zero singular
+    direction; the fit must converge and stay finite (regression for the
+    pairwise-relative convergence-measure stall found on TPU)."""
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((5, 9))
+    for backend in ("jacobi",):
+        from petal_decomposition_tpu import config
+
+        old = config.linalg_backend
+        config.linalg_backend = backend
+        try:
+            pca = Pca(3)
+            y = np.asarray(pca.fit_transform(x))
+        finally:
+            config.linalg_backend = old
+        assert np.all(np.isfinite(y))
+        # parity vs numpy on the same data
+        mu = x.mean(0)
+        u, s, vt = np.linalg.svd(x - mu, full_matrices=False)
+        idx = np.argmax(np.abs(u), axis=0)
+        sg = np.where(u[idx, np.arange(u.shape[1])] < 0, -1.0, 1.0)
+        y_ref = (u * sg)[:, :3] * s[:3]
+        assert np.abs(y - y_ref).max() < 1e-9
