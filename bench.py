@@ -122,18 +122,22 @@ def _ica_cpu_baseline_iters_per_sec() -> float:
     reference-equivalent single-threaded-library comparison point)."""
     rng = np.random.default_rng(0)
     x1 = rng.standard_normal((ICA_K, ICA_N)).astype(np.float32)
-    w = rng.standard_normal((ICA_K, ICA_K)).astype(np.float32)
     iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        wx = w @ x1
-        g = np.tanh(wx)
-        g_wtx = (1 - g * g).mean(axis=1)
-        w1 = (g @ x1.T) / ICA_N - g_wtx[:, None] * w
-        # symmetric decorrelation
-        lam, e = np.linalg.eigh(w1 @ w1.T)
-        w = (e / np.sqrt(lam)) @ e.T @ w1
-    dt = time.perf_counter() - t0
+
+    def run_once() -> float:
+        w = rng.standard_normal((ICA_K, ICA_K)).astype(np.float32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            wx = w @ x1
+            g = np.tanh(wx)
+            g_wtx = (1 - g * g).mean(axis=1)
+            w1 = (g @ x1.T) / ICA_N - g_wtx[:, None] * w
+            # symmetric decorrelation
+            lam, e = np.linalg.eigh(w1 @ w1.T)
+            w = (e / np.sqrt(np.maximum(lam, 1e-30))) @ e.T @ w1
+        return time.perf_counter() - t0
+
+    dt = float(np.median([run_once() for _ in range(3)]))
     return iters / dt
 
 
