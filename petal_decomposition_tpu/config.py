@@ -60,8 +60,15 @@ class Config:
     def cache_key(self) -> tuple:
         """Hashable snapshot of the fields that alter traced programs.
         Jitted fit pipelines take this as a static argument so config
-        changes retrace instead of silently reusing stale dispatch."""
-        return (self.linalg_backend, self.matmul_precision)
+        changes retrace instead of silently reusing stale dispatch.
+        (``use_pallas_ica`` is resolved eagerly into an explicit static
+        argument; ``check_convergence`` and ``host_offload_max_elements``
+        act outside traces — neither belongs here.)"""
+        return (
+            self.linalg_backend,
+            self.matmul_precision,
+            self.jacobi_max_sweeps,
+        )
 
 
 config = Config(

@@ -56,10 +56,26 @@ def symmetric_decorrelation(w):
     """W ← (W·Wᵀ)^(−1/2)·W via eigendecomposition (ref: ica.rs:363-381).
 
     ``eigh(W·Wᵀ) = E·diag(λ)·Eᵀ``; returns ``E·diag(1/√λ)·Eᵀ·W``.
+
+    Complex deviation (deliberate): the Gram here is the Hermitian
+    ``W·Wᴴ``, whereas the reference forms the plain transpose ``W·Wᵀ``
+    (ica.rs:369) and hands a non-Hermitian matrix to ``?heev``, which
+    silently reads only its lower triangle.  The Hermitian form is the
+    mathematically meaningful whitening (real for real W, so the real
+    paths are bit-identical to the reference convention).
     """
     w = jnp.asarray(w)
     e, v = eigh_psd_jit(mdot(w, w.conj().T))
-    inv_sqrt = (1.0 / jnp.sqrt(e)).astype(w.dtype)
+    # Pseudo-inverse semantics for numerically dead directions (rank-
+    # deficient W, e.g. a whitened channel zeroed by the rank cutoff):
+    # λ ≤ λmax·eps·k inverts to 0 instead of inf.  The reference computes
+    # 1/√λ unguarded (ica.rs:371-374) and NaNs on such inputs.
+    e = jnp.real(e)
+    cutoff = e[-1] * jnp.finfo(e.dtype).eps * w.shape[0]
+    ok = e > cutoff
+    inv_sqrt = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, e, 1)), 0).astype(
+        w.dtype
+    )
     return mdot(mdot(v * inv_sqrt[None, :], v.conj().T), w)
 
 
@@ -181,7 +197,10 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
         _, lim, it = state
         return (lim >= tol) & (it < max_iter)
 
-    lim0 = jnp.asarray(jnp.inf, x.dtype)
+    # The carry's lim slot is always real (the body computes
+    # ``max(abs(...))``); seeding it with a complex x.dtype would make
+    # while_loop reject the carry on complex inputs.
+    lim0 = jnp.asarray(jnp.inf, jnp.real(x).dtype)
     w, lim, n_iter = jax.lax.while_loop(
         cond, body, (w0, lim0, jnp.asarray(0, jnp.int32))
     )
@@ -332,8 +351,22 @@ class FastIca:
                     f"n_components should be at most {k}"
                 )
             k = self._n_components
-        if n == 0:
-            return jnp.zeros((d, 0), x.dtype)
+        if k == 0:
+            # Degenerate fit: 0 samples, 0 features, or n_components=0.
+            # The reference early-returns on 0 rows (ica.rs:174-176) but
+            # leaves components/means in their empty build state so a
+            # later transform() errors on the column check; here the
+            # model is left consistently fitted with an empty component
+            # matrix so transform/fit_transform degrade gracefully.
+            means = (
+                jnp.mean(x, axis=0) if n > 0 else jnp.zeros((d,), x.dtype)
+            )
+            self._components = jnp.zeros((0, d), x.dtype)
+            self._means = means
+            self._n_iter = 0
+            if n == 0:
+                return jnp.zeros((d, 0), x.dtype)
+            return (x - means).T
 
         if self._mesh is not None:
             from ..ops.jacobi import disable_vmem_kernels
@@ -403,7 +436,10 @@ def _whitening_matrix(xt, k: int, solver: str):
     # (The reference reads uninitialized memory here — SURVEY C13; this
     # is the fixed behavior.)
     eps = jnp.finfo(sigma_k.dtype).eps
-    cutoff = sigma[0] * eps * 10
+    # numpy-style rank tolerance: σ below σmax·eps·max(d, n) is
+    # numerically zero.  (A bare 10·eps misses directions a few eps above
+    # the noise floor, whose 1/σ then amplifies roundoff by ~1e12.)
+    cutoff = sigma[0] * eps * max(xt.shape)
     ok = sigma_k > cutoff
     inv = jnp.where(ok, 1.0 / jnp.where(ok, sigma_k, 1), 0)
     kmat = (u_k * inv.astype(u_k.dtype)[None, :]).T

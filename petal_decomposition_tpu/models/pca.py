@@ -28,20 +28,32 @@ from . import _common
 __all__ = ["Pca", "PcaBuilder"]
 
 
-@partial(jax.jit, static_argnames=("centering", "cfg"))
-def _fit_exact(x, *, centering: bool, cfg=None):
+@partial(jax.jit, static_argnames=("centering", "n_valid", "cfg"))
+def _fit_exact(x, *, centering: bool, n_valid: int | None = None, cfg=None):
     """Whole exact-SVD fit as one XLA computation: centering, thin SVD
     (Jacobi on TPU), deterministic sign flip, total variance.  A single
     device dispatch instead of one per op — the Rust pipeline's
     inner_fit (pca.rs:195-231) as one compiled program.  ``cfg`` is a
-    jit-cache key (config snapshot), unused in-body."""
+    jit-cache key (config snapshot), unused in-body.
+
+    ``n_valid`` (static): true row count when ``x`` carries zero-padded
+    trailing rows for even sharding.  Means divide by the true count and
+    padded rows are re-zeroed after centering, so σ/Vᵀ/total variance
+    match the unpadded fit exactly (zero rows add only zero singular
+    values) and the caller truncates U back to ``n_valid`` rows."""
     n, d = x.shape
+    n_eff = n if n_valid is None else n_valid
     if centering:
-        means = jnp.mean(x, axis=0)
+        # Padded rows are zeros, so the plain column sum is already the
+        # sum over true rows.
+        means = jnp.sum(x, axis=0) / n_eff
         xc = x - means
     else:
         means = jnp.zeros((d,), x.dtype)
         xc = x
+    if n_valid is not None:
+        mask = (jnp.arange(n) < n_valid)[:, None]
+        xc = jnp.where(mask, xc, 0)
     u, sigma, vt, off = svd_jit_cert(xc)
     u, vt = svd_flip(u, vt)
     return u, sigma, vt, means, sigma @ sigma, off
@@ -215,7 +227,7 @@ class Pca:
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
             self._total_variance = st["total_variance"]
-        elif _linalg._use_native(x.dtype, x.shape):
+        elif self._mesh is None and _linalg._use_native(x.dtype, x.shape):
             # Host-native backend, or a tiny problem on an accelerator
             # (dispatch-latency-bound) offloaded to the C++ core.  The
             # whole fit runs host-side: one device→host transfer in,
@@ -247,12 +259,25 @@ class Pca:
                 float(sigma_h @ sigma_h), real
             )
         else:
-            from ..ops.jacobi import warm_kernel_probes
+            import contextlib
 
-            warm_kernel_probes(x.dtype)
-            u, sigma, vt, means, total_var, off = _fit_exact(
-                x, centering=self._centering, cfg=config.cache_key()
-            )
+            from ..ops.jacobi import disable_vmem_kernels, warm_kernel_probes
+
+            # Mesh + solver='full': the padded, sharded x reaches the
+            # jitted SVD directly — the trace must be kernel-free
+            # (pallas_call has no GSPMD partitioning rule) and the fit
+            # must mask the padded rows (n_valid).
+            if self._mesh is not None:
+                ctx, suffix = disable_vmem_kernels(), ("nokernels",)
+            else:
+                warm_kernel_probes(x.dtype)
+                ctx, suffix = contextlib.nullcontext(), ()
+            with ctx:
+                u, sigma, vt, means, total_var, off = _fit_exact(
+                    x, centering=self._centering, n_valid=n_valid,
+                    cfg=config.cache_key() + suffix,
+                )
+            u = u[:n]
             if config.check_convergence:
                 tol = max(
                     float(jnp.finfo(sigma.dtype).eps) * 4, 2.0 ** -45

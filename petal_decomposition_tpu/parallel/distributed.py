@@ -249,8 +249,8 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     v_k = v[:, ::-1][:, :k]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
     # Relative cutoff: degenerate directions whiten to zero (see
-    # models.fast_ica._whitening_matrix).
-    cutoff = sigma[0] * jnp.finfo(sigma.dtype).eps * 10
+    # models.fast_ica._whitening_matrix; numpy-style rank tolerance).
+    cutoff = sigma[0] * jnp.finfo(sigma.dtype).eps * max(n, d)
     ok = sigma > cutoff
     inv_sigma = jnp.where(ok, 1.0 / jnp.where(ok, sigma, 1), 0)
     kmat = (v_k * inv_sigma.astype(v_k.dtype)[None, :]).T  # (k, d) replicated

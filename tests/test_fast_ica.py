@@ -201,3 +201,89 @@ def test_fast_ica_ns_decorrelation_recovers_sources():
     y = np.asarray(ica.fit_transform(x))
     corr = np.abs(np.corrcoef(y.T, s.T)[:2, 2:])
     assert np.all(corr.max(axis=1) > 0.95)
+
+
+def test_fast_ica_complex():
+    """Complex inputs fit without crashing and behave consistently
+    (the reference's FastIca is generic over c32/c64,
+    lapack.rs:207-210, ica.rs:41-50)."""
+    rng = np.random.default_rng(11)
+    n = 400
+    s = rng.standard_normal((n, 3)) + 1j * rng.standard_normal((n, 3))
+    mix = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+    x = (s ** 3) @ mix  # non-Gaussian complex sources, full rank
+    ica = FastIca.with_seed(RNG_SEED)
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (n, 3)
+    assert np.iscomplexobj(y)
+    assert np.all(np.isfinite(y.real)) and np.all(np.isfinite(y.imag))
+
+    ica2 = FastIca.with_seed(RNG_SEED)
+    ica2.fit(x)
+    y2 = np.asarray(ica2.transform(x))
+    np.testing.assert_allclose(y, y2, atol=1e-10)
+    assert ica2.n_iter_ == ica.n_iter_
+
+
+def test_fast_ica_complex_rank_deficient_finite():
+    """Numerically rank-deficient complex data must stay finite: the
+    dead whitened direction is zeroed by the rank cutoff instead of
+    amplifying roundoff (the reference NaNs here: unguarded 1/σ and
+    1/√λ, ica.rs:198-200,371-374)."""
+    rng = np.random.default_rng(11)
+    n = 400
+    s = rng.standard_normal((n, 2)) + 1j * rng.standard_normal((n, 2))
+    mix = rng.standard_normal((2, 3)) + 1j * rng.standard_normal((2, 3))
+    x = (s ** 3) @ mix  # rank 2 in 3 channels
+    ica = FastIca(seed=RNG_SEED, max_iter=30)
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (n, 3)
+    assert np.all(np.isfinite(y.real)) and np.all(np.isfinite(y.imag))
+
+
+def test_symmetric_decorrelation_complex_orthonormal():
+    """Complex decorrelation yields unitary rows (W·Wᴴ = I)."""
+    rng = np.random.default_rng(13)
+    w = rng.standard_normal((5, 5)) + 1j * rng.standard_normal((5, 5))
+    d = np.asarray(symmetric_decorrelation(w))
+    np.testing.assert_allclose(d @ d.conj().T, np.eye(5), atol=1e-10)
+
+
+def test_fast_ica_empty_input():
+    """0-row input fits gracefully (the reference early-returns,
+    ica.rs:174-176; here the model stays consistently usable)."""
+    x = np.zeros((0, 4))
+    ica = FastIca.with_seed(RNG_SEED)
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (0, 0)
+    assert np.asarray(ica.components()).shape == (0, 4)
+    assert np.asarray(ica.mean()).shape == (4,)
+    assert ica.n_iter_ == 0
+    # The fitted (empty) model still transforms compatible inputs.
+    out = np.asarray(ica.transform(np.ones((3, 4))))
+    assert out.shape == (3, 0)
+
+
+def test_fast_ica_zero_features():
+    x = np.zeros((5, 0))
+    y = np.asarray(FastIca.with_seed(RNG_SEED).fit_transform(x))
+    assert y.shape == (5, 0)
+
+
+def test_fast_ica_zero_components():
+    x = np.arange(12.0).reshape(4, 3)
+    ica = FastIcaBuilder().seed(RNG_SEED).n_components(0).build()
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (4, 0)
+    np.testing.assert_allclose(
+        np.asarray(ica.mean()), x.mean(axis=0), atol=1e-12
+    )
+
+
+def test_fast_ica_single_sample():
+    """1×d input: k = 1, the iteration degenerates but must not crash."""
+    x = np.array([[1.0, 2.0, 3.0]])
+    ica = FastIca.with_seed(RNG_SEED)
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (1, 1)
+    assert np.all(np.isfinite(y))

@@ -66,3 +66,17 @@ def test_config_change_retraces_jitted_fit():
     finally:
         config.linalg_backend = old
     np.testing.assert_allclose(y1, y2, atol=1e-9)
+
+
+def test_cache_key_covers_trace_affecting_fields():
+    """jacobi_max_sweeps is baked into traced while_loop bounds; changing
+    it must change the jit cache key (round-1 advisor finding)."""
+    from petal_decomposition_tpu.config import config
+
+    before = config.cache_key()
+    old = config.jacobi_max_sweeps
+    try:
+        config.jacobi_max_sweeps = old + 7
+        assert config.cache_key() != before
+    finally:
+        config.jacobi_max_sweeps = old

@@ -165,3 +165,26 @@ def test_randomized_pca_complex():
     z = np.asarray(pca2.inverse_transform(y2))
     s_all = np.linalg.svd(x - x.mean(0), compute_uv=False)
     assert np.abs(z - x).max() <= s_all[3] * 2
+
+
+def test_randomized_pca_empty_input():
+    """0-row input with k > 0 violates the reference's every-dim ≥ k
+    check (pca.rs:513-517) → InvalidInput; with k = 0 it fits cleanly
+    via the mean_axis-None early return (pca.rs:519-528)."""
+    from petal_decomposition_tpu import RandomizedPca
+
+    x = np.zeros((0, 4))
+    with pytest.raises(InvalidInput):
+        RandomizedPca.with_seed(2, RNG_SEED).fit(x)
+    y = np.asarray(RandomizedPca.with_seed(0, RNG_SEED).fit_transform(x))
+    assert y.shape[0] == 0
+
+
+def test_randomized_pca_single_sample():
+    y = np.asarray(
+        RandomizedPcaBuilder(1).seed(RNG_SEED).build().fit_transform(
+            np.array([[1.0, 2.0, 3.0]])
+        )
+    )
+    assert y.shape == (1, 1)
+    assert np.all(np.isfinite(y))

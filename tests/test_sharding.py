@@ -179,3 +179,54 @@ def test_uneven_rows_shard(mesh):
     y_sh = np.asarray(PcaBuilder(3).mesh(mesh).build().fit_transform(x))
     y_ref = np.asarray(Pca(3).fit_transform(x))
     np.testing.assert_allclose(y_sh, y_ref, atol=1e-7)
+
+
+def test_pca_full_solver_mesh_matches_unsharded(mesh):
+    """mesh + solver='full': padded rows must not pollute means, the
+    SVD, or the fit_transform output length (round-1 advisor finding)."""
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((101, 12))  # 101 % 8 != 0 → zero-padding
+
+    ref = Pca(3).fit(x)
+    sharded = PcaBuilder(3).mesh(mesh).solver("full").build()
+    y_sh = np.asarray(sharded.fit_transform(x))
+    assert y_sh.shape == (101, 3)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.mean()), np.asarray(ref.mean()), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.singular_values()),
+        np.asarray(ref.singular_values()),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.components()),
+        np.asarray(ref.components()),
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        y_sh, np.asarray(ref.fit_transform(x)), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.explained_variance_ratio()),
+        np.asarray(ref.explained_variance_ratio()),
+        rtol=1e-10,
+    )
+
+
+def test_pca_full_solver_mesh_without_centering(mesh):
+    rng = np.random.default_rng(19)
+    x = rng.standard_normal((50, 8)) + 1.0  # uneven over 8 devices? 50%8=2
+    ref = PcaBuilder(2).centering(False).build().fit(x)
+    sh = (
+        PcaBuilder(2).centering(False).mesh(mesh).solver("full").build()
+    ).fit(x)
+    np.testing.assert_allclose(
+        np.asarray(sh.singular_values()),
+        np.asarray(ref.singular_values()),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.components()), np.asarray(ref.components()), atol=1e-9
+    )
