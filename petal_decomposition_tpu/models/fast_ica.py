@@ -385,6 +385,17 @@ class FastIca:
                     decorrelation=self._decorrelation,
                     cfg=_config.cache_key() + ("nokernels",),
                 )
+            _linalg.check_certificate(
+                st["off"], jnp.real(x).dtype, d, "eigendecomposition"
+            )
+            if _config.check_convergence:
+                tol = float(jnp.finfo(jnp.real(x).dtype).eps) ** 0.25
+                if float(st["w_orth_err"]) > tol:
+                    from ..errors import LinalgError
+
+                    raise LinalgError(
+                        "symmetric decorrelation did not converge"
+                    )
             self._components = st["components"]
             self._means = st["means"]
             self._n_iter = int(st["n_iter"])
@@ -393,7 +404,13 @@ class FastIca:
         means = jnp.mean(x, axis=0)
         xt = (x - means).T  # (d, n) — ref: ica.rs:178-188
 
-        kmat, _sigma = _whitening_matrix(xt, k, self._whiten_solver)
+        kmat, _sigma, whiten_off = _whitening_matrix(
+            xt, k, self._whiten_solver
+        )
+        if self._whiten_solver == "eigh":
+            _linalg.check_certificate(
+                whiten_off, jnp.real(x).dtype, d, "eigendecomposition"
+            )
         # X₁ = K·Xᵀ·√n  (ref: ica.rs:204-208; the √n factor makes the
         # whitened rows unit-variance under the 1/n inner product).
         x1 = mdot(kmat, xt) * jnp.sqrt(jnp.asarray(n, x.dtype))
@@ -405,10 +422,40 @@ class FastIca:
             x1, self._tol, self._max_iter, w_init, fun=self._fun,
             decorrelation=self._decorrelation,
         )
+        check_decorrelation(w)
         self._components = mdot(w, kmat)  # ref: ica.rs:217
         self._means = means
         self._n_iter = n_iter
         return xt
+
+
+def decorrelation_certificate(w):
+    """Certificate that symmetric decorrelation succeeded: the final W
+    must have (pseudo-)orthonormal rows.  Off-diagonals of W·Wᴴ must be
+    ~0 and each diagonal entry ~0 (a dead direction zeroed by the rank
+    cutoff) or ~1.  Per-iteration k×k eigensolves inside the jitted
+    while_loop cannot surface individual LAPACK-style errors (ref:
+    linalg.rs:84 checks info on every call); any failure accumulates
+    into this end-state measure instead."""
+    g = mdot(w, w.conj().T)
+    diag = jnp.real(jnp.diagonal(g))
+    off_err = jnp.max(jnp.abs(g - jnp.diag(diag).astype(g.dtype)))
+    diag_err = jnp.max(jnp.abs(diag * (diag - 1.0)))
+    return jnp.maximum(off_err, diag_err)
+
+
+def check_decorrelation(w, what: str = "symmetric decorrelation") -> None:
+    """Raise ``LinalgError`` when the decorrelation certificate exceeds
+    its (loose) tolerance — failures are O(1), so eps**0.25 separates
+    them cleanly from Newton–Schulz/df64 working-precision residue."""
+    from ..config import config as cfg
+    from ..errors import LinalgError
+
+    if not cfg.check_convergence:
+        return
+    tol = float(jnp.finfo(jnp.real(jnp.asarray(w)).dtype).eps) ** 0.25
+    if float(decorrelation_certificate(w)) > tol:
+        raise LinalgError(f"{what} did not converge")
 
 
 def _whitening_matrix(xt, k: int, solver: str):
@@ -421,10 +468,12 @@ def _whitening_matrix(xt, k: int, solver: str):
     data, and the Gram reduces over samples (one psum when row-sharded).
     """
     if solver == "svd":
+        # svd() raises LinalgError itself on non-convergence.
         u, sigma, _ = svd(xt, compute_vt=False)
+        off = jnp.zeros((), jnp.real(sigma).dtype)
     else:
         gram = _linalg.mdot(xt, xt.conj().T)
-        lam, vecs = eigh_psd_jit(gram)  # ascending
+        lam, vecs, off = _linalg.eigh_psd_jit_cert(gram)  # ascending
         lam = lam[::-1]
         u = vecs[:, ::-1]
         sigma = jnp.sqrt(jnp.maximum(lam, 0.0))
@@ -443,7 +492,7 @@ def _whitening_matrix(xt, k: int, solver: str):
     ok = sigma_k > cutoff
     inv = jnp.where(ok, 1.0 / jnp.where(ok, sigma_k, 1), 0)
     kmat = (u_k * inv.astype(u_k.dtype)[None, :]).T
-    return kmat, sigma_k
+    return kmat, sigma_k, off
 
 
 class FastIcaBuilder:

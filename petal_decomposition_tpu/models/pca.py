@@ -227,6 +227,11 @@ class Pca:
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
             self._total_variance = st["total_variance"]
+            # Surface eigensolver non-convergence like every other path
+            # (LAPACK info != 0 analogue, ref: linalg.rs:84).
+            _linalg.check_certificate(
+                st["off"], sigma.dtype, d, "eigendecomposition"
+            )
         elif self._mesh is None and _linalg._use_native(x.dtype, x.shape):
             # Host-native backend, or a tiny problem on an accelerator
             # (dispatch-latency-bound) offloaded to the C++ core.  The

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..config import config as _config
 from ..errors import InvalidInput
+from ..ops import linalg as _linalg
 from ..ops.linalg import cholesky_qr2, lu_pl, mdot, qr, svd_flip, svddc
 from ..utils import rng as rng_util
 from . import _common
@@ -239,6 +240,10 @@ class RandomizedPca:
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
             self._total_variance = st["total_variance"]
+            _linalg.check_certificate(
+                st["off"], sigma.dtype, d,
+                "singular value decomposition",
+            )
             self._components = vt[:k, :]
             self._n_samples = n
             self._means = means
@@ -266,6 +271,9 @@ class RandomizedPca:
         )
         u, sigma, vt = st["u"], st["sigma"], st["vt"]
         means = st["means"]
+        _linalg.check_certificate(
+            st["off"], sigma.dtype, d, "singular value decomposition"
+        )
         # Frobenius² of the centered data, NOT σ·σ (ref: pca.rs:533).
         self._total_variance = st["total_variance"]
         self._components = vt[:k, :]

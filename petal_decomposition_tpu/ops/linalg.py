@@ -81,24 +81,49 @@ def _check_converged(off, tol: float, what: str) -> None:
         raise LinalgError(f"{what} did not converge")
 
 
-def eigh_jit(a):
-    """Backend-dispatched eigh safe to call under ``jit``: no host-side
-    convergence check (dispatch is by dtype, a trace-time constant).
-    Used inside fully-jitted pipelines (ICA iteration, distributed fits)."""
-    if config.linalg_backend == "xla":
-        return jnp.linalg.eigh(a)
-    if config.linalg_backend == "jacobi" or a.dtype in (
-        jnp.float64,
-        jnp.complex128,
+def convergence_tol(dtype, dim: int) -> float:
+    """Host-side tolerance for a Jacobi off-diagonal certificate.
+
+    ``max(...)`` accommodates the df64 kernel's ~2^-48 working precision
+    on the f64 path; unchanged for f32.
+    """
+    return max(float(jnp.finfo(dtype).eps) * 4, 2.0 ** -45) * (dim ** 0.5)
+
+
+def check_certificate(off, dtype, dim: int, what: str) -> None:
+    """Raise ``LinalgError`` when a convergence certificate exceeds its
+    tolerance — the LAPACK ``info != 0`` analogue (ref: linalg.rs:84,115),
+    applied post-fit to certificates threaded out of jitted pipelines."""
+    _check_converged(off, convergence_tol(dtype, dim), what)
+
+
+def eigh_jit_cert(a):
+    """Backend-dispatched eigh safe to call under ``jit``; returns
+    ``(w, v, off)`` where ``off`` is the convergence certificate (final
+    relative off-diagonal; 0 for direct backends).  Dispatch is by
+    dtype, a trace-time constant.  Used inside fully-jitted pipelines
+    (ICA iteration, distributed fits), whose callers check the
+    certificate host-side afterwards (:func:`check_certificate`)."""
+    if config.linalg_backend != "xla" and (
+        config.linalg_backend == "jacobi"
+        or a.dtype in (jnp.float64, jnp.complex128)
     ):
-        w, v, _, _ = jacobi_eigh(a)
-        return w, v
-    return jnp.linalg.eigh(a)
+        w, v, off, _ = jacobi_eigh(a)
+        return w, v, off
+    w, v = jnp.linalg.eigh(a)
+    return w, v, jnp.zeros((), jnp.real(w).dtype)
 
 
-def eigh_psd_jit(a):
+def eigh_jit(a):
+    """:func:`eigh_jit_cert` without the certificate."""
+    w, v, _ = eigh_jit_cert(a)
+    return w, v
+
+
+def eigh_psd_jit_cert(a):
     """Eigendecomposition of a *positive-semidefinite* symmetric matrix,
-    jit-safe, ascending eigenvalues.
+    jit-safe, ascending eigenvalues; returns ``(w, v, off)`` with the
+    convergence certificate.
 
     Every internal eigh in this library (W·Wᵀ decorrelation, Gram
     whitening, covariance PCA) is PSD, so a one-sided-Jacobi route
@@ -121,11 +146,21 @@ def eigh_psd_jit(a):
         tracing = isinstance(a, jax.core.Tracer)
         ok = jk64.probed() is True if tracing else jk64.kernel_available()
         if ok and jk64.supports(n, n, a.dtype):
-            a_rot, v, _ = jk64.jacobi_svd_vmem_f64(a)
+            a_rot, v, off = jk64.jacobi_svd_vmem_f64(a)
             lam = jnp.sqrt(jnp.sum(a_rot * a_rot, axis=0))
             order = jnp.argsort(lam)  # ascending, LAPACK convention
-            return jnp.take(lam, order), jnp.take(v, order, axis=1)
-    return eigh_jit(a)
+            return (
+                jnp.take(lam, order),
+                jnp.take(v, order, axis=1),
+                off.astype(jnp.float64),
+            )
+    return eigh_jit_cert(a)
+
+
+def eigh_psd_jit(a):
+    """:func:`eigh_psd_jit_cert` without the certificate."""
+    w, v, _ = eigh_psd_jit_cert(a)
+    return w, v
 
 
 def svd_jit(a, compute_vt: bool = True):

@@ -49,11 +49,11 @@ from ..ops.centered import (
 )
 from ..ops.linalg import (
     cholesky_qr2,
-    eigh_psd_jit,
+    eigh_psd_jit_cert,
     lu_pl,
     mdot,
     svd_flip,
-    svd_jit,
+    svd_jit_cert,
 )
 from ..utils import rng as rng_util
 
@@ -127,7 +127,7 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
     with jax.named_scope("gram"):
         c = gram()  # (d, d), psum over the sample axis
     with jax.named_scope("eigh"):
-        lam, v = eigh_psd_jit(c)  # ascending
+        lam, v, off = eigh_psd_jit_cert(c)  # ascending
     lam = lam[::-1]
     v = v[:, ::-1]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
@@ -141,6 +141,9 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
         "vt": vt[:k_full, :],
         "means": means,
         "total_variance": jnp.sum(sigma * sigma),
+        # Convergence certificate of the d×d eigensolve; checked
+        # host-side by the caller (LAPACK info != 0 analogue).
+        "off": off,
     }
 
 
@@ -208,7 +211,7 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     with jax.named_scope("project"):
         b = xtm(q).conj().T  # (l, d) replicated: Qᴴ·Xc via one psum
     with jax.named_scope("svd_b"):
-        u_b, sigma, vt = svd_jit(b)
+        u_b, sigma, vt, off = svd_jit_cert(b)
     with jax.named_scope("recover_u"):
         u = mdot(q, u_b)  # (n, l) sharded
     u, vt = svd_flip(u, vt)
@@ -218,6 +221,9 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         "vt": vt,
         "means": means,
         "total_variance": sqnorm(),
+        # Certificate of the (k+10)×d projected SVD (the pipeline's only
+        # iterative factorization); checked host-side by the caller.
+        "off": off,
     }
 
 
@@ -244,7 +250,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     with jax.named_scope("whiten_gram"):
         c = gram()  # (d, d) psum
     with jax.named_scope("whiten_eigh"):
-        lam, v = eigh_psd_jit(c)
+        lam, v, whiten_off = eigh_psd_jit_cert(c)
     lam = lam[::-1][:k]
     v_k = v[:, ::-1][:, :k]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
@@ -266,9 +272,18 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
             decorrelation=decorrelation, cfg=cfg,
         )
     components = mdot(w, kmat)  # (k, d) replicated
+    # Decorrelation certificate: a successful symmetric decorrelation
+    # leaves W with orthonormal rows; per-iteration k×k eigensolves
+    # inside the while_loop cannot surface individual certificates, but
+    # any failure shows up here.
+    w_orth_err = jnp.max(
+        jnp.abs(mdot(w, w.conj().T) - jnp.eye(w.shape[0], dtype=w.dtype))
+    )
     return {
         "components": components,
         "means": means,
         "n_iter": n_iter,
         "lim": lim,
+        "off": whiten_off,
+        "w_orth_err": w_orth_err,
     }
