@@ -46,6 +46,13 @@ class Config:
     # offload measured slower (169 vs 125 ms on the 1000×64 f64 fit);
     # set to e.g. 1<<18 on hosts with PCIe-attached accelerators.
     host_offload_max_elements: int = 0
+    # Complex-dtype fits/transforms on an accelerator default backend:
+    # "auto" dispatches them to the host CPU device (complex128 XLA:TPU
+    # programs compile impractically slowly on this stack — DESIGN.md
+    # §2 — and the reference's c32/c64 support runs on CPU/LAPACK
+    # anyway); "default" leaves placement alone.  Mesh fits are never
+    # redirected (an explicit device mesh wins).
+    complex_device: str = "auto"
     # Fused Pallas contrast-update kernel for single-device FastICA.
     # Off by default: measured on v5e, XLA's own fusion matches or beats
     # it at k ≤ 256 (9.7 vs 12.1 ms/iter at k=256, n=500k) — the kernel
@@ -56,6 +63,8 @@ class Config:
     def validate(self) -> None:
         if self.linalg_backend not in ("auto", "jacobi", "xla", "native"):
             raise ValueError(f"unknown linalg backend: {self.linalg_backend}")
+        if self.complex_device not in ("auto", "default"):
+            raise ValueError(f"unknown complex_device: {self.complex_device}")
 
     def cache_key(self) -> tuple:
         """Hashable snapshot of the fields that alter traced programs.

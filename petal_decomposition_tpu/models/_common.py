@@ -20,8 +20,49 @@ __all__ = [
 ]
 
 
+def complex_host_ctx(x, dtype=None):
+    """``(ctx, x)``: dispatch complex computations to the host CPU when
+    the default backend is an accelerator.
+
+    The reference's complex support runs on CPU LAPACK
+    (lapack.rs:207-210 instantiates c32/c64); on this TPU stack complex
+    XLA programs are impractical and even a bare complex128
+    host→device transfer hangs through the tunnel (DESIGN.md §2), so
+    complex fits and transforms transparently run host-side instead of
+    requiring the user to set ``JAX_PLATFORMS=cpu``.  Returns a context
+    manager that makes CPU the default device plus ``x`` committed
+    there.  The dtype decision uses ``jnp.result_type`` (``dtype`` when
+    given) — never ``jnp.asarray`` — so the raw (numpy) input is
+    inspected and re-homed *without ever touching the accelerator*.
+    No-op on CPU backends, for real dtypes, or with
+    ``config.complex_device='default'``.
+    """
+    import contextlib
+
+    import jax
+
+    from ..config import config
+
+    decide = jnp.dtype(dtype) if dtype is not None else jnp.result_type(x)
+    if (
+        config.complex_device == "auto"
+        and jnp.issubdtype(decide, jnp.complexfloating)
+        and jax.default_backend() != "cpu"
+    ):
+        try:
+            dev = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:  # no CPU platform registered
+            return contextlib.nullcontext(), x
+        return jax.default_device(dev), jax.device_put(x, dev)
+    return contextlib.nullcontext(), x
+
+
 def as_matrix(x) -> jnp.ndarray:
-    """Coerce input to a 2-D floating/complex jax array."""
+    """Coerce input to a 2-D floating/complex jax array.  Complex inputs
+    on an accelerator backend are homed on the host CPU *before* any
+    device placement (see :func:`complex_host_ctx`)."""
+    if jnp.issubdtype(jnp.result_type(x), jnp.complexfloating):
+        _, x = complex_host_ctx(x)
     x = jnp.asarray(x)
     if x.ndim != 2:
         raise InvalidInput(f"expected a 2-dimensional matrix, got {x.ndim}-d")
@@ -49,14 +90,18 @@ def transform(x, components, means, centering: bool):
     check_fitted(components)
     if x.shape[1] != means.shape[0]:
         raise InvalidInput(f"# of columns should be {means.shape[0]}")
-    if centering:
-        x = x - means
-    # Deliberate deviation for complex inputs: the reference uses a plain
-    # transpose (``x.dot(&components.t())``, pca.rs:745), under which
-    # fit_transform ≠ fit+transform for complex data.  The conjugate
-    # transpose is the mathematically-correct projection (identical for
-    # real data, which is all the reference tests).
-    return mdot(x, components.conj().T)
+    target = jnp.promote_types(x.dtype, components.dtype)
+    ctx, x = complex_host_ctx(x, dtype=target)
+    with ctx:
+        x = x.astype(target)
+        if centering:
+            x = x - means
+        # Deliberate deviation for complex inputs: the reference uses a
+        # plain transpose (``x.dot(&components.t())``, pca.rs:745), under
+        # which fit_transform ≠ fit+transform for complex data.  The
+        # conjugate transpose is the mathematically-correct projection
+        # (identical for real data, which is all the reference tests).
+        return mdot(x, components.conj().T)
 
 
 def transform_with_u(u, singular, n_components: int):
@@ -73,7 +118,10 @@ def inverse_transform(y, components, means, centering: bool):
     y = as_matrix(y)
     if y.shape[1] != components.shape[0]:
         raise InvalidInput(f"# of columns should be {components.shape[0]}")
-    out = mdot(y, components)
-    if centering:
-        out = out + means
-    return out
+    target = jnp.promote_types(y.dtype, components.dtype)
+    ctx, y = complex_host_ctx(y, dtype=target)
+    with ctx:
+        out = mdot(y.astype(target), components)
+        if centering:
+            out = out + means
+        return out

@@ -325,7 +325,10 @@ class FastIca:
         _common.check_fitted(self._components)
         if x.shape[1] != self._means.shape[0]:
             raise InvalidInput("too many columns")
-        return mdot(x - self._means, self._components.T)
+        target = jnp.promote_types(x.dtype, self._components.dtype)
+        ctx, x = _common.complex_host_ctx(x, dtype=target)
+        with ctx:
+            return mdot(x.astype(target) - self._means, self._components.T)
 
     def fit_transform(self, x):
         """Fit, then return ``(components·X_c)ᵀ`` (ref: ica.rs:147-157)."""
@@ -340,6 +343,17 @@ class FastIca:
         return mdot(self._components, xt_c).T
 
     def _inner_fit(self, x):
+        # Complex fits on an accelerator run host-side (the
+        # reference's c32/c64 support is CPU LAPACK; complex XLA:TPU
+        # programs are impractical — see _common.complex_host_ctx).
+        # An explicit mesh wins: mesh fits are never redirected.
+        if self._mesh is None:
+            ctx, x = _common.complex_host_ctx(x)
+            with ctx:
+                return self._inner_fit_impl(x)
+        return self._inner_fit_impl(x)
+
+    def _inner_fit_impl(self, x):
         """ref: ica.rs:167-221.  Returns the centered, transposed data
         (d × n), as the reference does."""
         n, d = x.shape

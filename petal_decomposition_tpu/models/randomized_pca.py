@@ -207,6 +207,17 @@ class RandomizedPca:
         )
 
     def _inner_fit(self, x):
+        # Complex fits on an accelerator run host-side (the
+        # reference's c32/c64 support is CPU LAPACK; complex XLA:TPU
+        # programs are impractical — see _common.complex_host_ctx).
+        # An explicit mesh wins: mesh fits are never redirected.
+        if self._mesh is None:
+            ctx, x = _common.complex_host_ctx(x)
+            with ctx:
+                return self._inner_fit_impl(x)
+        return self._inner_fit_impl(x)
+
+    def _inner_fit_impl(self, x):
         k = self._n_components
         _common.check_min_dims(x, k)
         n, d = x.shape

@@ -227,3 +227,17 @@ def test_pca_rank_deficient_centered():
         sg = np.where(u[idx, np.arange(u.shape[1])] < 0, -1.0, 1.0)
         y_ref = (u * sg)[:, :3] * s[:3]
         assert np.abs(y - y_ref).max() < 1e-9
+
+
+def test_complex_host_ctx_noop_on_cpu():
+    """On a CPU default backend the complex dispatch is a no-op."""
+    import contextlib
+
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.models._common import complex_host_ctx
+
+    x = jnp.ones((2, 2), jnp.complex128)
+    ctx, x2 = complex_host_ctx(x)
+    assert isinstance(ctx, contextlib.nullcontext)
+    assert x2 is x
