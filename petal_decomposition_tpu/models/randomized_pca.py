@@ -110,7 +110,8 @@ class RandomizedPca:
     def __init__(self, n_components: int, *, seed: int | None = None,
                  key=None, centering: bool = True, n_oversamples: int = 10,
                  n_power_iters: int = 7,
-                 power_iteration_normalizer: str = "auto", mesh=None):
+                 power_iteration_normalizer: str = "auto", mesh=None,
+                 finder_precision: str = "auto"):
         if n_components < 0:
             raise InvalidInput("n_components must be non-negative")
         if power_iteration_normalizer not in ("auto",) + _NORMALIZERS:
@@ -128,6 +129,13 @@ class RandomizedPca:
         if power_iteration_normalizer == "auto":
             power_iteration_normalizer = "cholqr2" if mesh is not None else "lu"
         self._normalizer = power_iteration_normalizer
+        if finder_precision not in ("auto", "f32", "full"):
+            raise ValueError(f"unknown finder precision {finder_precision!r}")
+        # Range-finder precision: "auto" runs the sketch/power-iteration
+        # gemms of float64 fits in float32 on accelerators (the final
+        # projection/SVD stay f64 — quadratic Rayleigh-Ritz recovery
+        # keeps ~1e-10 sigma accuracy; see distributed.randomized_pca_fit).
+        self._finder_precision = finder_precision
         if key is not None:
             self._key = key
         else:
@@ -246,6 +254,7 @@ class RandomizedPca:
                     n_power_iters=self._n_power_iters,
                     normalizer=self._normalizer,
                     n_valid=n_true if n_true != x_sh.shape[0] else None,
+                    finder_precision=self._finder_precision,
                     cfg=_config.cache_key() + ("nokernels",),
                 )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
@@ -268,6 +277,15 @@ class RandomizedPca:
         from ..ops.jacobi import warm_kernel_probes
         from ..parallel.distributed import randomized_pca_fit
 
+        # Householder QR at f64 on an accelerator is emulation-bound
+        # (measured 879 ms on a 100k×42 panel vs ~40 ms CholeskyQR2);
+        # the reference-parity QR rounding is kept on CPU and for f32.
+        final_orth = "qr"
+        if jax.default_backend() != "cpu" and jnp.dtype(x.dtype) in (
+            jnp.float64,
+            jnp.complex128,
+        ):
+            final_orth = "cholqr2"
         warm_kernel_probes(x.dtype)
         st = randomized_pca_fit(
             x, subkey,
@@ -277,7 +295,8 @@ class RandomizedPca:
             n_power_iters=self._n_power_iters,
             normalizer=self._normalizer,
             fuse_centering=False,
-            final_orth="qr",
+            final_orth=final_orth,
+            finder_precision=self._finder_precision,
             cfg=_config.cache_key(),
         )
         u, sigma, vt = st["u"], st["sigma"], st["vt"]
@@ -311,6 +330,7 @@ class RandomizedPcaBuilder:
         self._n_power_iters = 7
         self._normalizer = "auto"
         self._mesh = None
+        self._finder_precision = "auto"
 
     @classmethod
     def new(cls, n_components: int) -> "RandomizedPcaBuilder":
@@ -347,6 +367,12 @@ class RandomizedPcaBuilder:
         self._mesh = mesh
         return self
 
+    def finder_precision(self, precision: str) -> "RandomizedPcaBuilder":
+        """Range-finder precision: ``"auto"`` | ``"f32"`` | ``"full"``
+        (see ``distributed.randomized_pca_fit``)."""
+        self._finder_precision = precision
+        return self
+
     def build(self) -> RandomizedPca:
         return RandomizedPca(
             self._n_components,
@@ -357,4 +383,5 @@ class RandomizedPcaBuilder:
             n_power_iters=self._n_power_iters,
             power_iteration_normalizer=self._normalizer,
             mesh=self._mesh,
+            finder_precision=self._finder_precision,
         )

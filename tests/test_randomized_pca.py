@@ -188,3 +188,46 @@ def test_randomized_pca_single_sample():
     )
     assert y.shape == (1, 1)
     assert np.all(np.isfinite(y))
+
+
+def test_mixed_precision_finder_accuracy():
+    """finder_precision='f32': sigma from the f64 projection matches the
+    full-f64 pipeline to ~1e-9 relative — Rayleigh-Ritz recovery is
+    quadratic in the finder's subspace error."""
+    rng = np.random.default_rng(21)
+    n, d, k = 2000, 96, 8
+    # decaying spectrum, kappa ~ 1e4
+    u, _ = np.linalg.qr(rng.standard_normal((n, d)))
+    v, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    sv = np.logspace(0, -4, d)
+    x = (u * sv) @ v.T + 0.5
+
+    full = (
+        RandomizedPcaBuilder(k).seed(RNG_SEED).finder_precision("full")
+        .build().fit(x)
+    )
+    mixed = (
+        RandomizedPcaBuilder(k).seed(RNG_SEED).finder_precision("f32")
+        .build().fit(x)
+    )
+    sv_f = np.asarray(full.singular_values())
+    sv_m = np.asarray(mixed.singular_values())
+    assert np.abs(sv_m / sv_f - 1).max() < 1e-9
+    # exact-vs-mixed sigma: the real accuracy statement
+    exact = Pca(k).fit(x)
+    sv_e = np.asarray(exact.singular_values())
+    assert np.abs(sv_m / sv_e - 1).max() < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(mixed.components()), np.asarray(full.components()),
+        atol=5e-5,
+    )
+
+
+def test_mixed_precision_finder_golden():
+    """The reference golden fixture passes with the f32 finder too."""
+    x = np.array([[0.0, 0.0], [3.0, 4.0], [6.0, 8.0]])
+    pca = RandomizedPca(1, seed=RNG_SEED, finder_precision="f32")
+    y = np.asarray(pca.fit_transform(x))
+    assert abs(abs(y[0, 0]) - 5.0) < 1e-8
+    assert abs(y[1, 0]) < 1e-8
+    assert abs(abs(y[2, 0]) - 5.0) < 1e-8
