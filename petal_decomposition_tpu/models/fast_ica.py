@@ -383,21 +383,23 @@ class FastIca:
             return (x - means).T
 
         if self._mesh is not None:
-            from ..ops.jacobi import disable_vmem_kernels
+            from ..ops.jacobi import warm_kernel_probes
+            from ..ops.pallas.replication import replicated_kernel_mesh
             from ..parallel.distributed import fast_ica_fit
             from ..parallel.mesh import shard_rows_padded
 
             self._key, subkey = jax.random.split(self._key)
             x_sh, n_true = shard_rows_padded(x, self._mesh)
-            # Sharded trace: pallas_call has no GSPMD partitioning rule.
-            with disable_vmem_kernels():
+            # Sharded trace: VMEM kernels run replicated via shard_map.
+            warm_kernel_probes(x.dtype)
+            with replicated_kernel_mesh(self._mesh):
                 st = fast_ica_fit(
                     x_sh, subkey,
                     fun=self._fun, tol=self._tol, max_iter=self._max_iter,
                     n_valid=n_true if n_true != x_sh.shape[0] else None,
                     n_components=self._n_components,
                     decorrelation=self._decorrelation,
-                    cfg=_config.cache_key() + ("nokernels",),
+                    cfg=_config.cache_key() + (self._mesh,),
                 )
             _linalg.check_certificate(
                 st["off"], jnp.real(x).dtype, d, "eigendecomposition"

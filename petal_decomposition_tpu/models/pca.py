@@ -219,16 +219,19 @@ class Pca:
         if use_gram:
             import contextlib
 
-            from ..ops.jacobi import disable_vmem_kernels, warm_kernel_probes
+            from ..ops.jacobi import warm_kernel_probes
+            from ..ops.pallas.replication import replicated_kernel_mesh
             from ..parallel.distributed import pca_fit_gram
 
-            # Sharded traces must be kernel-free: pallas_call has no
-            # GSPMD partitioning rule.  Single-device gram fits keep the
-            # VMEM kernels (separate cache key per mode).
+            # Sharded traces run the VMEM kernels replicated per-device
+            # via shard_map (pallas_call alone has no GSPMD partitioning
+            # rule); the mesh joins the cache key so mesh and
+            # single-device traces never alias.
+            warm_kernel_probes(x.dtype)
             if self._mesh is not None:
-                ctx, suffix = disable_vmem_kernels(), ("nokernels",)
+                ctx = replicated_kernel_mesh(self._mesh)
+                suffix = (self._mesh,)
             else:
-                warm_kernel_probes(x.dtype)
                 ctx, suffix = contextlib.nullcontext(), ()
             with ctx:
                 st = pca_fit_gram(
@@ -277,16 +280,18 @@ class Pca:
         else:
             import contextlib
 
-            from ..ops.jacobi import disable_vmem_kernels, warm_kernel_probes
+            from ..ops.jacobi import warm_kernel_probes
+            from ..ops.pallas.replication import replicated_kernel_mesh
 
             # Mesh + solver='full': the padded, sharded x reaches the
-            # jitted SVD directly — the trace must be kernel-free
-            # (pallas_call has no GSPMD partitioning rule) and the fit
-            # must mask the padded rows (n_valid).
+            # jitted SVD directly — the kernels run replicated via
+            # shard_map (the operand is gathered to each device) and the
+            # fit masks the padded rows (n_valid).
+            warm_kernel_probes(x.dtype)
             if self._mesh is not None:
-                ctx, suffix = disable_vmem_kernels(), ("nokernels",)
+                ctx = replicated_kernel_mesh(self._mesh)
+                suffix = (self._mesh,)
             else:
-                warm_kernel_probes(x.dtype)
                 ctx, suffix = contextlib.nullcontext(), ()
             with ctx:
                 u, sigma, vt, means, total_var, off = _fit_exact(

@@ -239,13 +239,15 @@ class RandomizedPca:
         self._key, subkey = jax.random.split(self._key)
 
         if self._mesh is not None:
-            from ..ops.jacobi import disable_vmem_kernels
+            from ..ops.jacobi import warm_kernel_probes
+            from ..ops.pallas.replication import replicated_kernel_mesh
             from ..parallel.distributed import randomized_pca_fit
             from ..parallel.mesh import shard_rows_padded
 
             x_sh, n_true = shard_rows_padded(x, self._mesh)
-            # Sharded trace: pallas_call has no GSPMD partitioning rule.
-            with disable_vmem_kernels():
+            # Sharded trace: VMEM kernels run replicated via shard_map.
+            warm_kernel_probes(x.dtype)
+            with replicated_kernel_mesh(self._mesh):
                 st = randomized_pca_fit(
                     x_sh, subkey,
                     n_components=k,
@@ -255,7 +257,7 @@ class RandomizedPca:
                     normalizer=self._normalizer,
                     n_valid=n_true if n_true != x_sh.shape[0] else None,
                     finder_precision=self._finder_precision,
-                    cfg=_config.cache_key() + ("nokernels",),
+                    cfg=_config.cache_key() + (self._mesh,),
                 )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]

@@ -166,11 +166,22 @@ def supports(m: int, n: int, dtype) -> bool:
     return working <= _VMEM_BUDGET
 
 
-@functools.partial(jax.jit, static_argnames=("max_sweeps",))
 def jacobi_svd_vmem_f64(a, *, max_sweeps: int = 30):
     """One-sided Jacobi on the columns of ``a`` (m×n f64), entirely in
     one kernel at df64 precision.  Returns ``(a_rot, v, off)`` as f64
-    arrays, matching ``_jacobi_svd_core``'s contract."""
+    arrays, matching ``_jacobi_svd_core``'s contract.
+
+    The active replicated-kernel mesh (if any) is folded into the jit
+    cache key (see jacobi_kernels.jacobi_svd_vmem)."""
+    from .replication import current_mesh
+
+    return _jacobi_svd_vmem_f64(
+        a, max_sweeps=max_sweeps, mesh=current_mesh()
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps", "mesh"))
+def _jacobi_svd_vmem_f64(a, *, max_sweeps: int, mesh):
     m, n = a.shape
     padded = n % 2 == 1
     if padded:
@@ -179,20 +190,34 @@ def jacobi_svd_vmem_f64(a, *, max_sweeps: int = 30):
     tol = float(_TOL_EPS) * float(np.sqrt(max(m, n)))
 
     ah, al = df64.split_f64(a)
-    with jax.enable_x64(False):
-        oh, ol, vh, vl, off = pl.pallas_call(
-            functools.partial(_svd_kernel, n, max_sweeps, tol),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_shape=[
-                jax.ShapeDtypeStruct((m, n), jnp.float32),
-                jax.ShapeDtypeStruct((m, n), jnp.float32),
-                jax.ShapeDtypeStruct((n, n), jnp.float32),
-                jax.ShapeDtypeStruct((n, n), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            ],
-        )(ah, al)
+
+    def _call(ah32, al32):
+        with jax.enable_x64(False):
+            oh, ol, vh, vl, off = pl.pallas_call(
+                functools.partial(_svd_kernel, n, max_sweeps, tol),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((m, n), jnp.float32),
+                    jax.ShapeDtypeStruct((m, n), jnp.float32),
+                    jax.ShapeDtypeStruct((n, n), jnp.float32),
+                    jax.ShapeDtypeStruct((n, n), jnp.float32),
+                    jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                ],
+            )(ah32, al32)
+        return oh, ol, vh, vl, off
+
+    # Under a mesh trace the kernel runs replicated per-device via
+    # shard_map (pallas_call alone has no GSPMD partitioning rule).
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        _call = jax.shard_map(
+            _call, mesh=mesh, in_specs=P(),
+            out_specs=(P(), P(), P(), P(), P()), check_vma=False,
+        )
+    oh, ol, vh, vl, off = _call(ah, al)
 
     a_rot = df64.join_f64(oh, ol)
     v = df64.join_f64(vh, vl)

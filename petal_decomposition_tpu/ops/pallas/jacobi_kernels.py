@@ -170,11 +170,21 @@ def supports(m: int, n: int, dtype) -> bool:
     return working <= _VMEM_BUDGET
 
 
-@functools.partial(jax.jit, static_argnames=("max_sweeps",))
 def jacobi_svd_vmem(a, *, max_sweeps: int = 30):
     """One-sided Jacobi on the columns of ``a`` (m×n f32), entirely in
     one kernel.  Returns ``(a_rot, v, off)`` matching the contract of
-    the XLA ``_jacobi_svd_core`` (columns of a_rot are uᵢ·σᵢ)."""
+    the XLA ``_jacobi_svd_core`` (columns of a_rot are uᵢ·σᵢ).
+
+    The active replicated-kernel mesh (if any) is folded into the jit
+    cache key: a trace made without shard_map must never be reused
+    inside a mesh trace."""
+    from .replication import current_mesh
+
+    return _jacobi_svd_vmem(a, max_sweeps=max_sweeps, mesh=current_mesh())
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps", "mesh"))
+def _jacobi_svd_vmem(a, *, max_sweeps: int, mesh):
     m, n = a.shape
     padded = n % 2 == 1
     if padded:
@@ -182,21 +192,34 @@ def jacobi_svd_vmem(a, *, max_sweeps: int = 30):
         n += 1
     tol = float(np.finfo(np.float32).eps) * float(np.sqrt(max(m, n)))
 
-    with jax.enable_x64(False):
-        arot, v, off = pl.pallas_call(
-            functools.partial(_svd_kernel, n, max_sweeps, tol),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((m, n), jnp.float32),
-                jax.ShapeDtypeStruct((n, n), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            ],
-        )(a.astype(jnp.float32))
+    def _call(a32):
+        with jax.enable_x64(False):
+            arot, v, off = pl.pallas_call(
+                functools.partial(_svd_kernel, n, max_sweeps, tol),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((m, n), jnp.float32),
+                    jax.ShapeDtypeStruct((n, n), jnp.float32),
+                    jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                ],
+            )(a32)
+        return arot, v, off
+
+    # Under a mesh trace the kernel runs replicated per-device via
+    # shard_map (pallas_call alone has no GSPMD partitioning rule).
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        _call = jax.shard_map(
+            _call, mesh=mesh, in_specs=P(), out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    arot, v, off = _call(a.astype(jnp.float32))
 
     if padded:
         arot = arot[:, :-1]
