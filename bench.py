@@ -86,9 +86,11 @@ def _tpu_fit_seconds() -> tuple[float, dict]:
 
 
 def _cpu_baseline_seconds() -> float:
-    """Same Halko pipeline in numpy/BLAS on the host, scaled to N_ROWS."""
+    """Same Halko pipeline in numpy/BLAS on the host at the REAL
+    1M-row size (no extrapolation — round-1 review asked for the
+    measured number)."""
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((CPU_SAMPLE_ROWS, N_COLS)).astype(np.float32)
+    x = rng.standard_normal((N_ROWS, N_COLS)).astype(np.float32)
     l = K + OVERSAMPLES
 
     def run_once() -> float:
@@ -108,8 +110,44 @@ def _cpu_baseline_seconds() -> float:
         _ = q @ u_b
         return time.perf_counter() - t0
 
-    dt = float(np.median([run_once() for _ in range(3)]))
-    return dt * (N_ROWS / CPU_SAMPLE_ROWS)
+    return run_once()
+
+
+def _matmul_envelope() -> dict:
+    """Raw ``jnp.dot`` ceilings on this allocation — the roofline the
+    fit numbers are judged against (round-1 review: the
+    'bandwidth-capped chip' argument must live in the artifacts)."""
+    import jax
+    import jax.numpy as jnp
+
+    def timeit(f, *args, iters=3):
+        float(jnp.sum(f(*args)))  # compile + settle
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(*args)
+        float(jnp.sum(r))  # the tunnel only flushes on a transfer
+        return (time.perf_counter() - t0) / iters
+
+    out = {}
+    f = jax.jit(lambda a, b: jnp.dot(a, b, precision="highest"))
+    # Skinny streaming gemm at the flagship shape: bandwidth-bound.
+    a = jax.random.normal(jax.random.key(0), (N_ROWS, N_COLS), jnp.float32)
+    b = jax.random.normal(jax.random.key(1), (N_COLS, K + OVERSAMPLES),
+                          jnp.float32)
+    dt = timeit(f, a, b)
+    out["skinny_1Mx1024x42_f32"] = {
+        "ms": round(dt * 1e3, 2),
+        "gflops": round(2 * N_ROWS * N_COLS * (K + OVERSAMPLES) / dt / 1e9),
+        "hbm_gbps": round(N_ROWS * N_COLS * 4 / dt / 1e9, 1),
+    }
+    # Square compute-bound gemm: the MXU ceiling.
+    c = jax.random.normal(jax.random.key(2), (4096, 4096), jnp.float32)
+    dt = timeit(f, c, c)
+    out["square_4096_f32"] = {
+        "ms": round(dt * 1e3, 2),
+        "tflops": round(2 * 4096 ** 3 / dt / 1e12, 1),
+    }
+    return out
 
 
 ICA_K = 64
@@ -165,6 +203,56 @@ def _ica_iters_per_sec() -> float:
     return ICA_ITERS / dt
 
 
+def _extra_operating_points() -> dict:
+    """Two more fit configs so the artifact carries the roofline sweep:
+    a compute-heavy point (k=512 — arithmetic intensity ~261 flop/byte,
+    past the MXU ridge) and the north-star feature width d=4096."""
+    import jax
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.parallel.distributed import (
+        randomized_pca_fit,
+    )
+    from petal_decomposition_tpu.utils.rng import key_from_seed
+
+    key = key_from_seed(1_234_567_891_011_121_314)
+
+    def fit_time(n, d, k, iters=2):
+        x = jax.random.normal(jax.random.key(3), (n, d), jnp.float32)
+
+        def run():
+            st = randomized_pca_fit(
+                x, key, n_components=k, centering=True,
+                n_oversamples=10, n_power_iters=iters,
+                normalizer="cholqr2",
+            )
+            np.asarray(st["sigma"])
+
+        run()
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        dt = float(np.min(times))
+        l = k + 10
+        passes = 2 + 2 * iters
+        flops = passes * 2 * n * d * l
+        return {
+            "ms": round(dt * 1e3, 1),
+            "intensity_flop_per_byte": round(l / 2, 1),
+            "mxu_util_pct_vs_f32peak": round(
+                flops / dt / 49e12 * 100, 1
+            ),
+            "hbm_gbps": round(passes * n * d * 4 / dt / 1e9, 1),
+        }
+
+    return {
+        "compute_heavy_200kx2048_k512": fit_time(200_000, 2048, 512),
+        "northstar_width_250kx4096_k32": fit_time(250_000, 4096, 32),
+    }
+
+
 def _retry(fn, attempts: int = 2):
     """Shield the recorded benchmark from transient remote-TPU hiccups."""
     last = None
@@ -195,13 +283,18 @@ def main() -> None:
     mxu_util_pct = flops / tpu_s / 197e12 * 100  # vs bf16 peak
     hbm_util_pct = hbm_gbps / 819 * 100  # vs v5e HBM peak
 
+    envelope = _retry(_matmul_envelope)
+    extra = _retry(_extra_operating_points)
+
     result = {
         "metric": f"randomized_pca_fit_{N_ROWS // 1000}kx{N_COLS}_f32",
         "value": round(tpu_s * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(cpu_s / tpu_s, 2),
         "detail": {
-            "cpu_baseline_est_ms": round(cpu_s * 1e3, 1),
+            "cpu_baseline_measured_full_size_ms": round(cpu_s * 1e3, 1),
+            "matmul_envelope": envelope,
+            "operating_points": extra,
             "effective_hbm_gbps": round(hbm_gbps, 1),
             "hbm_util_pct": round(hbm_util_pct, 1),
             "mxu_util_pct": round(mxu_util_pct, 2),

@@ -163,13 +163,15 @@ class Pca:
 
     @staticmethod
     def _auto_prefers_gram(x) -> bool:
-        """On TPU, wide f32 matrices beyond the VMEM Jacobi kernel's
-        reach would fall to the dispatch-bound XLA Jacobi formulation
-        (minutes at d ≈ 4096); the Gram/eigh path (XLA's MXU-dense QDWH
-        eigh handles d=4096 f32 directly) is the practical choice there.
-        Accuracy trade: σ through the Gram square to ~eps·κ(X)² — at the
-        f32 noise floor for reasonably-conditioned data; pass
-        ``solver="full"`` to force the direct SVD regardless."""
+        """Since round 2 the direct path serves every f32 width: VMEM
+        Jacobi kernels where they fit, MXU-native QDWH-SVD beyond
+        (backward stable — no Gram κ² squaring; ``ops/jacobi.py:
+        _qdwh_svd``).  ``auto`` keeps the Gram/eigh route only for the
+        genuinely Gram-shaped regime — n ≫ d, where one d×d Gram matmul
+        replaces an n-row QR+polar sweep (e.g. the 1M×4096 north-star
+        shape: Gram reads X once; the direct QR would dominate).
+        Accuracy trade there: σ through the Gram square to ~eps·κ(X)²;
+        pass ``solver="full"`` to force the direct SVD regardless."""
         if x.dtype != jnp.float32:
             return False
         if jax.default_backend() == "cpu":
@@ -179,7 +181,9 @@ class Pca:
         n, d = x.shape
         direct_ok = jacobi_kernels.supports(n, d, x.dtype)
         qr_precond_ok = jacobi_kernels.supports(d + (d % 2), d, x.dtype)
-        return not (direct_ok or qr_precond_ok)
+        if direct_ok or qr_precond_ok:
+            return False
+        return n >= 8 * d
 
     def _inner_fit(self, x):
         # Complex fits on an accelerator run host-side (the

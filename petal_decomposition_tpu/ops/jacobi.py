@@ -266,6 +266,52 @@ def warm_kernel_probes(dtype) -> None:
         jacobi_f64_kernel.kernel_available()
 
 
+def _qdwh_svd_ok(a, m: int, n: int) -> bool:
+    """Use the QDWH-SVD route?  f32 on an accelerator, real, beyond the
+    VMEM kernels' reach.  QDWH-SVD (Nakatsukasa–Higham 2013: polar
+    decomposition by QDWH iteration, then eigh of the Hermitian factor)
+    is the MXU-native direct SVD: ~5 iterations of QR/Cholesky+matmul,
+    backward stable — no Gram κ² squaring — and every FLOP is a dense
+    f32 MXU op.  Preferred over a block-Jacobi tiling here because this
+    stack's per-dispatch cost makes hundreds of sequential panel solves
+    (each QR + kernel + two matmuls) ~25× slower than QDWH's ~20 fused
+    XLA ops.  f64 stays on the Jacobi formulations: XLA's f64 eigh
+    vectors carry f32-grade internals (~1e-7), below the 1e-10 band.
+    (Pure XLA ops — partitions fine under mesh traces too.)"""
+    if a.dtype != jnp.float32:
+        return False
+    if jax.default_backend() == "cpu":
+        return False  # LAPACK gesvd serves every width on host
+    return n >= 2
+
+
+def _qdwh_svd(a, m: int, n: int):
+    """Thin SVD via polar decomposition + eigh (f32, m ≥ n).
+
+    Returns ``(a_rot_equiv_u_scaled…)`` — to keep the caller's contract
+    (columns of ``a_rot`` are uᵢ·σᵢ) we return ``(u·diag(s), v, off)``.
+    """
+    if m > n:
+        q1, r = jnp.linalg.qr(a, mode="reduced")
+    else:
+        q1, r = None, a
+    up, h, _iters, conv = jax.lax.linalg.qdwh(r)
+    lam, v = jnp.linalg.eigh(h)  # ascending
+    lam = jnp.maximum(lam[::-1], 0.0)
+    v = v[:, ::-1]
+    u_small = jnp.dot(up, v, precision=config.matmul_precision)
+    u = (
+        jnp.dot(q1, u_small, precision=config.matmul_precision)
+        if q1 is not None
+        else u_small
+    )
+    a_rot = u * lam[None, :]
+    # Certificate: 0 when the QDWH iteration converged, else ∞ (the
+    # LAPACK info != 0 analogue for this route).
+    off = jnp.where(conv, 0.0, jnp.inf).astype(jnp.float32)
+    return a_rot, v, off
+
+
 def jacobi_svd(a, *, compute_v: bool = True, max_sweeps: int | None = None,
                update: str | None = None):
     """Thin SVD via one-sided Jacobi: ``a = U diag(s) Vᴴ``.
@@ -327,6 +373,10 @@ def jacobi_svd(a, *, compute_v: bool = True, max_sweeps: int | None = None,
             r_f, max_sweeps=max_sweeps
         )
         a_rot = jnp.dot(q_f, r_rot, precision=config.matmul_precision)
+        sweeps = jnp.asarray(-1, jnp.int32)
+    elif _qdwh_svd_ok(a, m, n):
+        # Wide/large f32 beyond the VMEM kernels: MXU-native QDWH-SVD.
+        a_rot, v, off = _qdwh_svd(a, m, n)
         sweeps = jnp.asarray(-1, jnp.int32)
     elif m >= 3 * n and m * n >= (1 << 20):
         # Large tall matrix, no kernel available (f64/complex/CPU):

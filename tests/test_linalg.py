@@ -173,3 +173,33 @@ def test_linalg_error_on_nonconvergence():
         cfg.jacobi_max_sweeps = old
     # converges fine with the normal budget
     L.svd(a)
+
+
+def test_qdwh_svd_matches_lapack():
+    """The wide-f32 QDWH-SVD route (ops.jacobi._qdwh_svd) is backward
+    stable: sigma to ~eps*sigma1, orthonormal factors, exact
+    reconstruction — no Gram kappa^2 squaring.  (Dispatched on TPU for
+    f32 beyond the VMEM kernels; the function itself is pure XLA and
+    testable on CPU.)"""
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.ops.jacobi import _qdwh_svd
+
+    rng = np.random.default_rng(3)
+    n, d = 384, 192
+    u0, _ = np.linalg.qr(rng.standard_normal((n, d)))
+    v0, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    sv = np.logspace(0, -5, d)
+    x64 = (u0 * sv) @ v0.T
+    a = jnp.asarray(x64, jnp.float32)
+
+    a_rot, v, off = _qdwh_svd(a, n, d)
+    s = np.sqrt(np.sum(np.asarray(a_rot, np.float64) ** 2, axis=0))
+    assert float(off) == 0.0  # converged
+    assert np.abs(s - sv).max() < 3e-6  # backward error ~ eps*sigma1
+    u = np.asarray(a_rot, np.float64) / np.where(s > 0, s, 1)
+    assert np.abs(u.T @ u - np.eye(d)).max() < 2e-5
+    vv = np.asarray(v, np.float64)
+    assert np.abs(vv.T @ vv - np.eye(d)).max() < 2e-5
+    recon = np.asarray(a_rot, np.float64) @ vv.T
+    assert np.abs(recon - x64).max() < 3e-6
