@@ -203,6 +203,32 @@ def _ica_iters_per_sec() -> float:
     return ICA_ITERS / dt
 
 
+def _ica_f64_mixed_iters_per_sec() -> float:
+    """f64 FastICA iteration rate under the default
+    ``iteration_precision="auto"`` (f32 iterate + f64 polish) — the
+    round-2 answer to XLA's ~15× emulated-f64 matmul penalty."""
+    import jax
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.models.fast_ica import _ica_par_core
+
+    x1 = jax.random.normal(jax.random.key(1), (ICA_K, ICA_N), jnp.float64)
+    w0 = jax.random.normal(jax.random.key(2), (ICA_K, ICA_K), jnp.float64)
+    tol = jnp.asarray(1e-30, jnp.float64)  # force the full iteration count
+
+    def run():
+        w, _, _ = _ica_par_core(
+            x1, tol, ICA_ITERS, w0, "logcosh", precision="f32"
+        )
+        np.asarray(w).ravel()[:1]
+
+    run()  # warmup
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return ICA_ITERS / dt
+
+
 def _extra_operating_points() -> dict:
     """Two more fit configs so the artifact carries the roofline sweep:
     a compute-heavy point (k=512 — arithmetic intensity ~261 flop/byte,
@@ -301,6 +327,9 @@ def main() -> None:
             "k": K,
             "power_iters": POWER_ITERS,
             "fastica_iters_per_sec_64x100k": round(ica_ips, 1),
+            "fastica_f64_mixed_iters_per_sec": round(
+                _retry(_ica_f64_mixed_iters_per_sec), 1
+            ),
             "fastica_cpu_baseline_iters_per_sec": round(
                 _ica_cpu_baseline_iters_per_sec(), 1
             ),

@@ -145,8 +145,33 @@ def config3_fastica():
     t0 = time.perf_counter()
     run()
     dt = time.perf_counter() - t0
-    return {"iters_per_sec": round(iters / dt, 1),
-            "ms_per_iter": round(dt / iters * 1e3, 3)}
+    out = {"iters_per_sec": round(iters / dt, 1),
+           "ms_per_iter": round(dt / iters * 1e3, 3)}
+
+    # f64 iteration rate: reference-faithful full precision (XLA's
+    # emulated f64 matmuls) vs the mixed f32-iterate/f64-polish path
+    # (iteration_precision="auto" on accelerators).  On non-convergent
+    # Gaussian data every iteration runs in the f32 stage, so this
+    # isolates the per-step cost.
+    x64 = x1.astype(jnp.float64)
+    w64 = w0.astype(jnp.float64)
+    tol64 = jnp.asarray(1e-30, jnp.float64)
+    for label, prec, n_it in (
+        ("f64_full", "full", 20),
+        ("f64_mixed", "f32", 50),
+    ):
+        def run64():
+            w, _, _ = _ica_par_core(
+                x64, tol64, n_it, w64, "logcosh", precision=prec
+            )
+            _sync(w)
+
+        run64()
+        t0 = time.perf_counter()
+        run64()
+        dt = time.perf_counter() - t0
+        out[f"{label}_iters_per_sec"] = round(n_it / dt, 1)
+    return out
 
 
 def config4_sharded():

@@ -140,12 +140,20 @@ def logcosh(x):
     return g, s / x.shape[1]
 
 
+# Below this the f32 convergence functional is dominated by roundoff
+# noise (k·eps_f32 rotations per step): the mixed-precision f32 stage
+# stops here and hands off to the f64 polish stage.
+_F32_LIM_FLOOR = 1e-5
+
+
 @partial(jax.jit, static_argnames=("max_iter", "fun", "n_valid",
-                                   "use_pallas", "decorrelation", "cfg"))
+                                   "use_pallas", "decorrelation",
+                                   "precision", "cfg"))
 def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
                   n_valid: int | None = None,
                   use_pallas: bool | None = None,
-                  decorrelation: str = "eigh", cfg=None):
+                  decorrelation: str = "eigh",
+                  precision: str = "full", cfg=None):
     """The FastICA fixed-point iteration (ref: ica.rs:319-361).
 
     ``n_valid`` (static): number of real sample columns when ``x`` is
@@ -156,6 +164,17 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     into a single-HBM-pass Pallas kernel.  ``None`` auto-enables on TPU
     for supported shapes; forced off by the sharded path (the kernel is
     single-device).
+
+    ``precision`` (static): precision of the fixed-point iteration.
+    ``"full"`` iterates at the data dtype (reference-faithful).
+    ``"f32"`` (float64 data only) runs the iteration's k×n data matmuls
+    — the entire per-step cost — in float32 on the MXU until the f32
+    noise floor, then *polishes* in float64 from the f32 fixed point
+    until ``tol`` within the remaining ``max_iter`` budget.  The FastICA
+    map is a contraction near its fixed point, so the polish inherits
+    the f32 stage's basin and typically needs 1-3 f64 steps; the final W
+    satisfies the same f64 convergence criterion a full-precision run
+    does.  Total iterations never exceed ``max_iter``.
     """
     from ..ops.pallas import ica_kernels
 
@@ -178,33 +197,57 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     w0 = symmetric_decorrelation(w_init)
     p_inv = 1.0 / n  # ref: ica.rs:330
 
-    def body(state):
-        w, _, it = state
-        if use_pallas:
-            gx, gsum = ica_kernels.ica_contrast_update(w, x, fun=fun)
-        else:
-            gwtx, gsum = _contrast_sums(fun, mdot(w, x))  # ref: ica.rs:332
-            gx = mdot(gwtx, x.T)
-        g_wtx = (gsum - pad * g0) * p_inv
-        # W1 = symdecorr(G·Xᵀ/p − diag(g′)·W)   (ref: ica.rs:333-343)
-        update = gx * p_inv - g_wtx[:, None] * w
-        w1 = decorr(update)
-        # lim = max_i ||row_i(W1)·col_i(W)| − 1|  (ref: ica.rs:344-354)
-        lim = jnp.max(jnp.abs(jnp.abs(jnp.einsum("ij,ji->i", w1, w)) - 1.0))
-        return w1, lim, it + 1
+    def make_body(xs):
+        def body(state):
+            w, _, it = state
+            if use_pallas:
+                gx, gsum = ica_kernels.ica_contrast_update(w, xs, fun=fun)
+            else:
+                gwtx, gsum = _contrast_sums(fun, mdot(w, xs))  # ica.rs:332
+                gx = mdot(gwtx, xs.T)
+            g_wtx = (gsum - pad * g0) * p_inv
+            # W1 = symdecorr(G·Xᵀ/p − diag(g′)·W)   (ref: ica.rs:333-343)
+            update = gx * p_inv - g_wtx[:, None] * w
+            w1 = decorr(update)
+            # lim = max_i ||row_i(W1)·col_i(W)| − 1|  (ref: ica.rs:344-354)
+            lim = jnp.max(
+                jnp.abs(jnp.abs(jnp.einsum("ij,ji->i", w1, w)) - 1.0)
+            )
+            return w1, lim, it + 1
 
-    def cond(state):
-        _, lim, it = state
-        return (lim >= tol) & (it < max_iter)
+        return body
 
-    # The carry's lim slot is always real (the body computes
-    # ``max(abs(...))``); seeding it with a complex x.dtype would make
-    # while_loop reject the carry on complex inputs.
-    lim0 = jnp.asarray(jnp.inf, jnp.real(x).dtype)
-    w, lim, n_iter = jax.lax.while_loop(
-        cond, body, (w0, lim0, jnp.asarray(0, jnp.int32))
-    )
-    return w, lim, n_iter
+    def run(xs, tol_s, w_start, budget):
+        body = make_body(xs)
+
+        def cond(state):
+            _, lim, it = state
+            return (lim >= tol_s) & (it < budget)
+
+        # The carry's lim slot is always real (the body computes
+        # ``max(abs(...))``); seeding it with a complex x.dtype would
+        # make while_loop reject the carry on complex inputs.
+        lim0 = jnp.asarray(jnp.inf, jnp.real(xs).dtype)
+        return jax.lax.while_loop(
+            cond, body, (w_start, lim0, jnp.asarray(0, jnp.int32))
+        )
+
+    budget = jnp.asarray(max_iter, jnp.int32)
+    if precision == "f32" and x.dtype == jnp.float64:
+        f32 = jnp.float32
+        tol32 = jnp.maximum(tol, _F32_LIM_FLOOR).astype(f32)
+        w32, lim32, n1 = run(x.astype(f32), tol32, w0.astype(f32), budget)
+        # Re-orthonormalize at full precision before polishing: the f32
+        # W carries ~eps_f32 departures from row-orthonormality.
+        w_b = symmetric_decorrelation(w32.astype(x.dtype))
+        w, lim, n2 = run(x, tol, w_b, budget - n1)
+        # Budget exhausted in stage 1 → stage 2 never ran; report the
+        # f32 stage's convergence measure (a non-converged fit, as the
+        # reference reports via n_iter == max_iter, ica.rs:360).
+        lim = jnp.where(n2 > 0, lim, lim32.astype(lim.dtype))
+        return w, lim, n1 + n2
+
+    return run(x, tol, w0, budget)
 
 
 def resolve_use_pallas(k: int, dtype) -> bool:
@@ -222,8 +265,24 @@ def resolve_use_pallas(k: int, dtype) -> bool:
     )
 
 
+def resolve_iteration_precision(setting: str, dtype) -> str:
+    """Eager-context resolution of ``iteration_precision="auto"``:
+    ``"f32"`` (iterate in float32, polish in float64) for float64 data
+    on an accelerator backend — where XLA emulates f64 matmuls ~8×
+    slower than f32 — and ``"full"`` everywhere else (CPU LAPACK-grade
+    f64 gemms are already fast; f32/complex data always iterates at its
+    own dtype)."""
+    if setting != "auto":
+        return setting
+    return (
+        "f32"
+        if dtype == jnp.float64 and jax.default_backend() != "cpu"
+        else "full"
+    )
+
+
 def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
-            decorrelation: str = "eigh"):
+            decorrelation: str = "eigh", precision: str = "full"):
     """Symmetric FastICA iteration (ref: ica.rs:319-361).
 
     Returns ``(w, n_iter)``; ``n_iter == max_iter`` when the tolerance was
@@ -234,7 +293,8 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
         x, jnp.asarray(tol, jnp.real(x).dtype), int(max_iter),
         jnp.asarray(w_init), fun,
         use_pallas=resolve_use_pallas(x.shape[0], x.dtype),
-        decorrelation=decorrelation, cfg=_config.cache_key(),
+        decorrelation=decorrelation, precision=precision,
+        cfg=_config.cache_key(),
     )
     return w, int(n_iter)
 
@@ -256,14 +316,20 @@ class FastIca:
                  fun: str = "logcosh", tol: float = 1e-4,
                  max_iter: int = 200, whiten_solver: str = "svd",
                  mesh=None, n_components: int | None = None,
-                 decorrelation: str = "eigh"):
+                 decorrelation: str = "eigh",
+                 iteration_precision: str = "auto"):
         if fun not in _CONTRASTS:
             raise ValueError(f"unknown contrast function {fun!r}")
         if whiten_solver not in ("svd", "eigh"):
             raise ValueError(f"unknown whiten solver {whiten_solver!r}")
         if decorrelation not in ("eigh", "ns"):
             raise ValueError(f"unknown decorrelation {decorrelation!r}")
+        if iteration_precision not in ("auto", "f32", "full"):
+            raise ValueError(
+                f"unknown iteration precision {iteration_precision!r}"
+            )
         self._decorrelation = decorrelation
+        self._iteration_precision = iteration_precision
         self._mesh = mesh
         # The reference pins k = min(n, d) (ica.rs:173); an explicit
         # n_components (north-star extension, sklearn-style) keeps only
@@ -399,6 +465,9 @@ class FastIca:
                     n_valid=n_true if n_true != x_sh.shape[0] else None,
                     n_components=self._n_components,
                     decorrelation=self._decorrelation,
+                    precision=resolve_iteration_precision(
+                        self._iteration_precision, x.dtype
+                    ),
                     cfg=_config.cache_key() + (self._mesh,),
                 )
             _linalg.check_certificate(
@@ -437,6 +506,9 @@ class FastIca:
         w, n_iter = ica_par(
             x1, self._tol, self._max_iter, w_init, fun=self._fun,
             decorrelation=self._decorrelation,
+            precision=resolve_iteration_precision(
+                self._iteration_precision, x.dtype
+            ),
         )
         check_decorrelation(w)
         self._components = mdot(w, kmat)  # ref: ica.rs:217
@@ -528,6 +600,7 @@ class FastIcaBuilder:
         self._mesh = None
         self._n_components = None
         self._decorrelation = "eigh"
+        self._iteration_precision = "auto"
 
     @classmethod
     def new(cls) -> "FastIcaBuilder":
@@ -576,6 +649,15 @@ class FastIcaBuilder:
         self._decorrelation = method
         return self
 
+    def iteration_precision(self, precision: str) -> "FastIcaBuilder":
+        """Fixed-point iteration precision: ``"full"`` (data dtype,
+        reference-faithful), ``"f32"`` (float32 iterate + float64
+        polish for f64 data — the per-step k×n matmuls skip XLA's ~8×
+        f64 emulation), or ``"auto"`` (``"f32"`` for f64 on an
+        accelerator, ``"full"`` otherwise)."""
+        self._iteration_precision = precision
+        return self
+
     def build(self) -> FastIca:
         return FastIca(
             seed=self._seed,
@@ -587,4 +669,5 @@ class FastIcaBuilder:
             mesh=self._mesh,
             n_components=self._n_components,
             decorrelation=self._decorrelation,
+            iteration_precision=self._iteration_precision,
         )

@@ -275,12 +275,13 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "n_valid",
                                    "fuse_centering", "n_components",
-                                   "decorrelation", "cfg"))
+                                   "decorrelation", "precision", "cfg"))
 def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
                  max_iter: int = 200, n_valid: int | None = None,
                  fuse_centering: bool = True,
                  n_components: int | None = None,
-                 decorrelation: str = "eigh", cfg=None):
+                 decorrelation: str = "eigh",
+                 precision: str = "full", cfg=None):
     """FastICA with Gram/eigh whitening as one sharded XLA computation.
 
     Whitening reduces over samples once (d×d psum); each ``ica_par``
@@ -313,9 +314,9 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     w_init = rng_util.normal(key, (k, k), x.dtype)
     with jax.named_scope("ica_par"):
         w, lim, n_iter = _ica_par_core(
-        x1, jnp.asarray(tol, jnp.real(x).dtype), max_iter, w_init, fun,
+            x1, jnp.asarray(tol, jnp.real(x).dtype), max_iter, w_init, fun,
             n_valid=n_valid, use_pallas=False,  # kernel is single-device
-            decorrelation=decorrelation, cfg=cfg,
+            decorrelation=decorrelation, precision=precision, cfg=cfg,
         )
     components = mdot(w, kmat)  # (k, d) replicated
     # Decorrelation certificate: a successful symmetric decorrelation

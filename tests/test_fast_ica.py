@@ -287,3 +287,66 @@ def test_fast_ica_single_sample():
     y = np.asarray(ica.fit_transform(x))
     assert y.shape == (1, 1)
     assert np.all(np.isfinite(y))
+
+
+def _mixture(n=4000, seed=5):
+    rng = np.random.default_rng(seed)
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n))], axis=1
+    )
+    return (s @ np.array([[1.0, 0.5], [0.3, 1.0]])).astype(np.float64), s
+
+
+def test_iteration_precision_mixed_matches_full():
+    """f32-iterate + f64-polish converges to the same f64 fixed point
+    as the reference-faithful full-precision iteration (same key, same
+    basin); both satisfy the same tight f64 convergence criterion."""
+    x, _ = _mixture()
+    full = FastIca(
+        seed=RNG_SEED, tol=1e-10, iteration_precision="full"
+    ).fit(x)
+    mixed = FastIca(
+        seed=RNG_SEED, tol=1e-10, iteration_precision="f32"
+    ).fit(x)
+    assert 1 <= mixed.n_iter_ <= 200
+    np.testing.assert_allclose(
+        np.asarray(mixed.components()),
+        np.asarray(full.components()),
+        atol=1e-7,
+    )
+
+
+def test_iteration_precision_budget_cap():
+    """Total iterations (f32 stage + f64 polish) never exceed max_iter;
+    a non-convergent fit reports n_iter == max_iter (the reference's
+    non-convergence contract, ica.rs:360).  Gaussian data has no
+    independent non-Gaussian sources, so the iteration never settles."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2000, 4))
+    ica = FastIca(
+        seed=RNG_SEED, tol=1e-30, max_iter=7, iteration_precision="f32"
+    ).fit(x)
+    assert ica.n_iter_ == 7
+    # Convergent data stops within budget on the f64 criterion (the
+    # polish may even reach an exactly-stationary W, lim == 0.0).
+    xm, _ = _mixture()
+    ica = FastIca(
+        seed=RNG_SEED, tol=1e-12, max_iter=50, iteration_precision="f32"
+    ).fit(xm)
+    assert 1 <= ica.n_iter_ <= 50
+
+
+def test_iteration_precision_f32_data_unaffected():
+    """float32 data iterates at its own dtype regardless of setting."""
+    x, s = _mixture()
+    x = x.astype(np.float32)
+    a = FastIca(seed=RNG_SEED, iteration_precision="f32").fit_transform(x)
+    b = FastIca(seed=RNG_SEED, iteration_precision="full").fit_transform(x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_iteration_precision_validation():
+    with pytest.raises(ValueError):
+        FastIca(iteration_precision="bogus")
+    with pytest.raises(ValueError):
+        FastIcaBuilder().iteration_precision("bf16").build()

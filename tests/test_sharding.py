@@ -230,3 +230,33 @@ def test_pca_full_solver_mesh_without_centering(mesh):
     np.testing.assert_allclose(
         np.asarray(sh.components()), np.asarray(ref.components()), atol=1e-9
     )
+
+
+def test_fast_ica_sharded_mixed_precision_matches_unsharded(mesh):
+    """Mixed-precision (f32 iterate + f64 polish) mesh fit converges to
+    the same f64 fixed point as the single-device mixed fit: the f32
+    stage's psum reassociation may wiggle the trajectory by ~eps_f32,
+    but the f64 polish contracts both onto the same attractor."""
+    rng = np.random.default_rng(6)
+    n = 2048
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n))], axis=1
+    )
+    x = s @ np.array([[1.0, 0.5], [0.3, 1.0]])
+
+    ref = (
+        FastIcaBuilder().seed(RNG_SEED).whiten_solver("eigh")
+        .tol(1e-10).iteration_precision("f32").build()
+    )
+    ref.fit(x)
+    sh = (
+        FastIcaBuilder().seed(RNG_SEED).mesh(mesh)
+        .tol(1e-10).iteration_precision("f32").build()
+    )
+    sh.fit(x)
+    assert 1 <= sh.n_iter_ <= 200
+    np.testing.assert_allclose(
+        np.asarray(sh.components()),
+        np.asarray(ref.components()),
+        atol=1e-7,
+    )
