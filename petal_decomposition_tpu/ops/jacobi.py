@@ -267,18 +267,26 @@ def warm_kernel_probes(dtype) -> None:
 
 
 def _qdwh_svd_ok(a, m: int, n: int) -> bool:
-    """Use the QDWH-SVD route?  f32 on an accelerator, real, beyond the
-    VMEM kernels' reach.  QDWH-SVD (Nakatsukasa–Higham 2013: polar
-    decomposition by QDWH iteration, then eigh of the Hermitian factor)
-    is the MXU-native direct SVD: ~5 iterations of QR/Cholesky+matmul,
-    backward stable — no Gram κ² squaring — and every FLOP is a dense
-    f32 MXU op.  Preferred over a block-Jacobi tiling here because this
-    stack's per-dispatch cost makes hundreds of sequential panel solves
-    (each QR + kernel + two matmuls) ~25× slower than QDWH's ~20 fused
-    XLA ops.  f64 stays on the Jacobi formulations: XLA's f64 eigh
-    vectors carry f32-grade internals (~1e-7), below the 1e-10 band.
+    """Use the QDWH-SVD route?  Real f32 or f64 on an accelerator,
+    beyond the VMEM kernels' reach.  QDWH-SVD (Nakatsukasa–Higham 2013:
+    polar decomposition by QDWH iteration, then eigh of the Hermitian
+    factor) is the MXU-native direct SVD: ~5 iterations of
+    QR/Cholesky+matmul, backward stable — no Gram κ² squaring — and
+    every FLOP a dense MXU op.  Preferred over a block-Jacobi tiling
+    here because this stack's per-dispatch cost makes hundreds of
+    sequential panel solves (each QR + kernel + two matmuls) ~25×
+    slower than QDWH's ~20 fused XLA ops.
+
+    f32 uses XLA's eigh of the Hermitian factor directly (its ~1e-7
+    vector accuracy sits at the dtype noise floor).  f64 runs the whole
+    polar iteration in f64 (QR/Cholesky are fully accurate on TPU) and
+    replaces the eigh — whose built-in f64 lowering carries f32-grade
+    internals — with an f32 MXU eigh *refined to f64* by the
+    matmul-only Ogita–Aishima iteration (``ops/refine.py``); without
+    this, f64 beyond the df64 VMEM kernel (n ≳ 630) fell to the
+    dispatch/emulation-bound XLA rotation loop (hours at n = 4096).
     (Pure XLA ops — partitions fine under mesh traces too.)"""
-    if a.dtype != jnp.float32:
+    if a.dtype not in (jnp.float32, jnp.float64):
         return False
     if jax.default_backend() == "cpu":
         return False  # LAPACK gesvd serves every width on host
@@ -286,7 +294,7 @@ def _qdwh_svd_ok(a, m: int, n: int) -> bool:
 
 
 def _qdwh_svd(a, m: int, n: int):
-    """Thin SVD via polar decomposition + eigh (f32, m ≥ n).
+    """Thin SVD via polar decomposition + eigh (f32/f64 real, m ≥ n).
 
     Returns ``(a_rot_equiv_u_scaled…)`` — to keep the caller's contract
     (columns of ``a_rot`` are uᵢ·σᵢ) we return ``(u·diag(s), v, off)``.
@@ -296,7 +304,19 @@ def _qdwh_svd(a, m: int, n: int):
     else:
         q1, r = None, a
     up, h, _iters, conv = jax.lax.linalg.qdwh(r)
-    lam, v = jnp.linalg.eigh(h)  # ascending
+    if a.dtype == jnp.float64:
+        from .refine import refined_eigh
+
+        lam, v, off_r = refined_eigh(h)  # ascending, f64-refined
+        # Route-appropriate success criterion: the refinement's relative
+        # residual ‖HV − VΛ‖∞/λmax reaches ~1e-13 on resolved spectra
+        # and stalls near 1e-11..1e-10 on tight clusters (vectors mix
+        # within the cluster subspace — LAPACK-equivalent behavior);
+        # genuine failures blow past 1e-8 by orders of magnitude.
+        ok = conv & (off_r < 1e-8)
+    else:
+        lam, v = jnp.linalg.eigh(h)  # ascending
+        ok = conv
     lam = jnp.maximum(lam[::-1], 0.0)
     v = v[:, ::-1]
     u_small = jnp.dot(up, v, precision=config.matmul_precision)
@@ -306,9 +326,9 @@ def _qdwh_svd(a, m: int, n: int):
         else u_small
     )
     a_rot = u * lam[None, :]
-    # Certificate: 0 when the QDWH iteration converged, else ∞ (the
-    # LAPACK info != 0 analogue for this route).
-    off = jnp.where(conv, 0.0, jnp.inf).astype(jnp.float32)
+    # Certificate: 0 when the route converged, else ∞ (the LAPACK
+    # info != 0 analogue).
+    off = jnp.where(ok, 0.0, jnp.inf).astype(a.dtype)
     return a_rot, v, off
 
 

@@ -104,6 +104,23 @@ def eigh_jit_cert(a):
     dtype, a trace-time constant.  Used inside fully-jitted pipelines
     (ICA iteration, distributed fits), whose callers check the
     certificate host-side afterwards (:func:`check_certificate`)."""
+    if (
+        config.linalg_backend == "auto"
+        and a.dtype == jnp.float64
+        and a.shape[0] > 512
+        and jax.default_backend() != "cpu"
+    ):
+        # Large f64 on an accelerator: neither the df64 VMEM kernel
+        # (n ≳ 630 exceeds VMEM) nor the XLA-formulated rotation loop
+        # (n·sweeps sequential emulated-f64 matmuls — ~45 min at
+        # n=1024) is practical.  f32 MXU eigh + matmul-only f64
+        # Ogita–Aishima refinement reaches ~1e-13 relative residuals
+        # in seconds (ops/refine.py).
+        from .refine import refined_eigh
+
+        w, v, off_r = refined_eigh(a)
+        off = jnp.where(off_r < 1e-8, 0.0, jnp.inf).astype(a.dtype)
+        return w, v, off
     if config.linalg_backend != "xla" and (
         config.linalg_backend == "jacobi"
         or a.dtype in (jnp.float64, jnp.complex128)
