@@ -307,17 +307,35 @@ def cholesky_qr2(a):
 
     def one_round(x):
         g = mdot(x.conj().T, x)
+        eye = jnp.eye(g.shape[0], dtype=g.dtype)
         # Tiny diagonal lift guards exactly rank-deficient panels.
         scale = jnp.real(jnp.trace(g)) / g.shape[0]
         lift = jnp.finfo(g.dtype).eps * jnp.maximum(scale, 1e-30)
-        g = g + lift * jnp.eye(g.shape[0], dtype=g.dtype)
-        low = jnp.linalg.cholesky(g)  # G = L·Lᴴ
+        low = jnp.linalg.cholesky(g + lift * eye)  # G = L·Lᴴ
+        # Escalating shift (shifted CholeskyQR, Fukaya et al.): the
+        # computed Gram of a rank-deficient panel carries matmul error
+        # far beyond eps-level — on TPU the emulated-f64 dot's ~m·2⁻⁴⁸
+        # worst case (measured: a rank-3 20000×6 panel's Gram had a
+        # −4.5e-4 eigenvalue against λmax 1.5e6) — which makes G+lift
+        # indefinite and XLA's Cholesky emits NaNs.  Retry once with a
+        # √u·trace shift that dominates any such error; it zeroes the
+        # (unresolvable anyway) null directions, matching LAPACK QR's
+        # arbitrary-completion semantics, and is only engaged when the
+        # first factorization actually failed, so well-conditioned
+        # panels — e.g. the 1M-row f32 flagship normalizer — never see
+        # the large shift.
+        u = max(float(jnp.finfo(g.dtype).eps), 2.0 ** -48)
+        big = (u ** 0.5) * jnp.maximum(
+            jnp.real(jnp.trace(g)), 1e-30
+        )
+        bad = jnp.any(jnp.isnan(low))
+        low = jnp.where(bad, jnp.linalg.cholesky(g + big * eye), low)
         # Q = X·L⁻ᴴ via a k×k triangular inverse + one MXU matmul: a
         # triangular solve against n right-hand sides is sequential on
         # TPU (measured 57-65 ms for 100k×42 vs ~20 ms this way), and
         # L⁻¹'s rounding is absorbed by the second round.
         linv = jax.scipy.linalg.solve_triangular(
-            low, jnp.eye(g.shape[0], dtype=g.dtype), lower=True
+            low, eye, lower=True
         )
         return mdot(x, linv.conj().T)
 

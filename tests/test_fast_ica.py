@@ -350,3 +350,21 @@ def test_iteration_precision_validation():
         FastIca(iteration_precision="bogus")
     with pytest.raises(ValueError):
         FastIcaBuilder().iteration_precision("bf16").build()
+
+
+@pytest.mark.parametrize("fun", ["exp", "cube"])
+def test_iteration_precision_other_contrasts(fun):
+    """The mixed-precision stages share one loop body — every contrast
+    converges to the full-precision fixed point."""
+    x, s = _mixture(seed=9)
+    full = FastIca(
+        seed=RNG_SEED, tol=1e-9, fun=fun, iteration_precision="full"
+    ).fit(x)
+    mixed = FastIca(
+        seed=RNG_SEED, tol=1e-9, fun=fun, iteration_precision="f32"
+    ).fit(x)
+    np.testing.assert_allclose(
+        np.asarray(mixed.components()),
+        np.asarray(full.components()),
+        atol=1e-6,
+    )

@@ -231,3 +231,48 @@ def test_mixed_precision_finder_golden():
     assert abs(abs(y[0, 0]) - 5.0) < 1e-8
     assert abs(y[1, 0]) < 1e-8
     assert abs(abs(y[2, 0]) - 5.0) < 1e-8
+
+
+def test_randomized_pca_rank_deficient_channels():
+    """Exactly rank-deficient data (3 sources observed on 6 channels,
+    as in examples/unmix_signals.py): every normalizer must produce
+    finite factors — the CholeskyQR2 path needs its escalating shift
+    when the rank-deficient panel's Gram goes (numerically) indefinite.
+    Regression for a round-2 NaN found driving the example on TPU."""
+    rng = np.random.default_rng(0)
+    n = 20_000
+    t = np.linspace(0, 8, n)
+    sources = np.stack(
+        [np.sign(np.sin(3 * t)), 2 * (t % 1) - 1,
+         np.sign(rng.standard_normal(n)) * rng.standard_normal(n) ** 2],
+        axis=1,
+    )
+    x = sources @ rng.standard_normal((3, 6))
+    for norm in ("lu", "qr", "cholqr2"):
+        pca = (
+            RandomizedPcaBuilder(3).seed(42)
+            .power_iteration_normalizer(norm).build()
+        )
+        y = np.asarray(pca.fit_transform(x))
+        evr = np.asarray(pca.explained_variance_ratio())
+        assert np.all(np.isfinite(y)), norm
+        assert np.all(np.isfinite(evr)), norm
+        assert evr.sum() > 0.99  # rank 3 ⇒ 3 components explain ~all
+
+
+def test_cholesky_qr2_rank_deficient_panel():
+    """cholesky_qr2 on an exactly rank-deficient panel stays finite and
+    orthonormalizes the range (null directions may come out ~zero —
+    LAPACK QR's arbitrary-completion freedom)."""
+    from petal_decomposition_tpu.ops.linalg import cholesky_qr2
+
+    rng = np.random.default_rng(1)
+    basis = rng.standard_normal((5000, 3))
+    panel = basis @ rng.standard_normal((3, 6))  # rank 3, 6 columns
+    q = np.asarray(cholesky_qr2(panel))
+    assert np.all(np.isfinite(q))
+    # The range of the panel is spanned: projecting the basis onto Q
+    # loses nothing.
+    proj = q @ (q.T @ basis)
+    resid = np.linalg.norm(proj - basis) / np.linalg.norm(basis)
+    assert resid < 1e-8
