@@ -32,7 +32,10 @@ print("explained variance:", np.asarray(pca.explained_variance_ratio()))
 # Unmix.
 ica = FastIcaBuilder().seed(42).build()
 recovered = np.asarray(ica.fit_transform(x3))
-print(f"converged in {ica.n_iter_} iterations")
+print(f"stopped after {ica.n_iter_} iterations "
+      f"(max_iter=200; hitting the cap is fine — the symmetric "
+      f"FastICA fixed point wanders within tol on this fixture while "
+      f"the sources are already cleanly separated)")
 
 corr = np.abs(np.corrcoef(recovered.T, sources.T)[:3, 3:])
 print("|corr| best match per recovered component:", corr.max(axis=1).round(4))
