@@ -518,18 +518,21 @@ class FastIca:
 
 
 def decorrelation_certificate(w):
-    """Certificate that symmetric decorrelation succeeded: the final W
-    must have (pseudo-)orthonormal rows.  Off-diagonals of W·Wᴴ must be
-    ~0 and each diagonal entry ~0 (a dead direction zeroed by the rank
-    cutoff) or ~1.  Per-iteration k×k eigensolves inside the jitted
-    while_loop cannot surface individual LAPACK-style errors (ref:
-    linalg.rs:84 checks info on every call); any failure accumulates
-    into this end-state measure instead."""
+    """Certificate that symmetric decorrelation succeeded: ``G = W·Wᴴ``
+    must be an **orthogonal projector** (``G² = G``) — the exact
+    invariant of the pseudo-inverse decorrelation.  Full-rank fits give
+    G = I; when the data's rank is below k (dead whitened channels
+    zeroed by the rank cutoff) the update matrix is rank-deficient and
+    the decorrelated W's rows span an r-dimensional subspace in an
+    arbitrary orientation, so G is a non-diagonal projector — still a
+    successful decorrelation.  Any real failure leaves G with
+    eigenvalues away from {0, 1}, which ``‖G² − G‖`` detects.
+    Per-iteration k×k eigensolves inside the jitted while_loop cannot
+    surface individual LAPACK-style errors (ref: linalg.rs:84 checks
+    info on every call); failures accumulate into this end-state
+    measure instead."""
     g = mdot(w, w.conj().T)
-    diag = jnp.real(jnp.diagonal(g))
-    off_err = jnp.max(jnp.abs(g - jnp.diag(diag).astype(g.dtype)))
-    diag_err = jnp.max(jnp.abs(diag * (diag - 1.0)))
-    return jnp.maximum(off_err, diag_err)
+    return jnp.max(jnp.abs(mdot(g, g) - g))
 
 
 def check_decorrelation(w, what: str = "symmetric decorrelation") -> None:

@@ -308,9 +308,14 @@ def cholesky_qr2(a):
     def one_round(x):
         g = mdot(x.conj().T, x)
         eye = jnp.eye(g.shape[0], dtype=g.dtype)
-        # Tiny diagonal lift guards exactly rank-deficient panels.
+        # Tiny diagonal lift guards exactly rank-deficient panels.  The
+        # floor is applied to the LIFT (not just the scale): on TPU,
+        # f64 is emulated as float32 pairs, so a lift below ~1e-38
+        # (e.g. eps·1e-30 for an all-zero panel) silently underflows to
+        # exactly 0 → cholesky(0) → 1/0 → NaN (found by a TPU shape
+        # sweep on a 1-sample fit whose centered panel is exactly 0).
         scale = jnp.real(jnp.trace(g)) / g.shape[0]
-        lift = jnp.finfo(g.dtype).eps * jnp.maximum(scale, 1e-30)
+        lift = jnp.maximum(jnp.finfo(g.dtype).eps * scale, 1e-30)
         low = jnp.linalg.cholesky(g + lift * eye)  # G = L·Lᴴ
         # Escalating shift (shifted CholeskyQR, Fukaya et al.): the
         # computed Gram of a rank-deficient panel carries matmul error
@@ -325,8 +330,8 @@ def cholesky_qr2(a):
         # panels — e.g. the 1M-row f32 flagship normalizer — never see
         # the large shift.
         u = max(float(jnp.finfo(g.dtype).eps), 2.0 ** -48)
-        big = (u ** 0.5) * jnp.maximum(
-            jnp.real(jnp.trace(g)), 1e-30
+        big = jnp.maximum(
+            (u ** 0.5) * jnp.real(jnp.trace(g)), 1e-30
         )
         bad = jnp.any(jnp.isnan(low))
         low = jnp.where(bad, jnp.linalg.cholesky(g + big * eye), low)

@@ -162,6 +162,12 @@ def supports(m: int, n: int, dtype) -> bool:
     # f32 kernel — same empirical cap applies (see jacobi_kernels).
     if m * max(n_pad, 128) > 400_000:
         return False
+    # Scoped-VMEM stack bound: Mosaic's allocator reported needing
+    # ~17.8 live lane-padded (m, n_pad→128) f32 buffers for a 2000×18
+    # panel (18.21 MB against its 16 MB scoped limit — found by a TPU
+    # shape sweep).  Conservatively require 18 such buffers to fit.
+    if 18 * m * max(n_pad, 128) * 4 > 16 * 1024 * 1024:
+        return False
     working = (8 * m * n_pad + 8 * n_pad * n_pad) * 4
     return working <= _VMEM_BUDGET
 

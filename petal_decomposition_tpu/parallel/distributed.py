@@ -319,13 +319,14 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
             decorrelation=decorrelation, precision=precision, cfg=cfg,
         )
     components = mdot(w, kmat)  # (k, d) replicated
-    # Decorrelation certificate: a successful symmetric decorrelation
-    # leaves W with orthonormal rows; per-iteration k×k eigensolves
-    # inside the while_loop cannot surface individual certificates, but
-    # any failure shows up here.
-    w_orth_err = jnp.max(
-        jnp.abs(mdot(w, w.conj().T) - jnp.eye(w.shape[0], dtype=w.dtype))
-    )
+    # Decorrelation certificate (projector test — see
+    # models.fast_ica.decorrelation_certificate): W·Wᴴ must satisfy
+    # G² = G, allowing dead directions when rank(X) < k; per-iteration
+    # k×k eigensolves inside the while_loop cannot surface individual
+    # certificates, but any failure shows up here.
+    from ..models.fast_ica import decorrelation_certificate
+
+    w_orth_err = decorrelation_certificate(w)
     return {
         "components": components,
         "means": means,

@@ -368,3 +368,17 @@ def test_iteration_precision_other_contrasts(fun):
         np.asarray(full.components()),
         atol=1e-6,
     )
+
+
+def test_fast_ica_k_exceeds_data_rank():
+    """k > rank(X): dead whitened channels are zeroed by the rank
+    cutoff, the decorrelated W spans only rank(X) directions (W·Wᴴ is a
+    projector, not I), and the fit must succeed with finite output —
+    found by a TPU shape sweep raising a spurious LinalgError."""
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((5000, 2)) @ rng.standard_normal((2, 64)))
+    ica = FastIcaBuilder().seed(RNG_SEED).n_components(4).build()
+    y = np.asarray(ica.fit_transform(x))
+    assert y.shape == (5000, 4)
+    assert np.all(np.isfinite(y))
+    assert np.all(np.isfinite(np.asarray(ica.components())))

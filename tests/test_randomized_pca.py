@@ -1,5 +1,6 @@
 """RandomizedPca tests — ports of the reference's tests (pca.rs:949-1041)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -276,3 +277,24 @@ def test_cholesky_qr2_rank_deficient_panel():
     proj = q @ (q.T @ basis)
     resid = np.linalg.norm(proj - basis) / np.linalg.norm(basis)
     assert resid < 1e-8
+
+
+def test_randomized_pca_single_sample_all_orth_paths():
+    """1-sample fit: centering makes the panel exactly zero; every
+    orthonormalization (incl. CholeskyQR2's underflow-prone lift on
+    emulated-f64 backends) must yield finite factors with σ = 0."""
+    from petal_decomposition_tpu.parallel.distributed import (
+        randomized_pca_fit,
+    )
+    from petal_decomposition_tpu.utils.rng import key_from_seed
+
+    x = np.array([[1.0, 2.0, 3.0, 4.0, 5.0]])
+    for fo in ("qr", "cholqr2"):
+        st = randomized_pca_fit(
+            jnp.asarray(x), key_from_seed(3), n_components=1,
+            centering=True, n_oversamples=10, n_power_iters=2,
+            normalizer="lu", fuse_centering=False, final_orth=fo,
+        )
+        for k in ("u", "sigma", "vt"):
+            assert np.all(np.isfinite(np.asarray(st[k]))), (fo, k)
+        np.testing.assert_allclose(np.asarray(st["sigma"]), 0.0)
