@@ -27,7 +27,6 @@ N_COLS = 1024
 K = 32
 OVERSAMPLES = 10
 POWER_ITERS = 2
-CPU_SAMPLE_ROWS = 100_000
 
 
 def _tpu_fit_seconds() -> tuple[float, dict]:

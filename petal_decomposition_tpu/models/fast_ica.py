@@ -197,7 +197,7 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     w0 = symmetric_decorrelation(w_init)
     p_inv = 1.0 / n  # ref: ica.rs:330
 
-    def make_body(xs):
+    def make_body(xs, use_pallas):
         def body(state):
             w, _, it = state
             if use_pallas:
@@ -217,8 +217,8 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
 
         return body
 
-    def run(xs, tol_s, w_start, budget):
-        body = make_body(xs)
+    def run(xs, tol_s, w_start, budget, use_pallas=use_pallas):
+        body = make_body(xs, use_pallas)
 
         def cond(state):
             _, lim, it = state
@@ -234,13 +234,16 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
 
     budget = jnp.asarray(max_iter, jnp.int32)
     if precision == "f32" and x.dtype == jnp.float64:
+        # The caller resolved ``use_pallas`` against the f32 stage's
+        # dtype (the fused contrast kernel is f32-only); the f64 polish
+        # stage always takes the XLA path.
         f32 = jnp.float32
         tol32 = jnp.maximum(tol, _F32_LIM_FLOOR).astype(f32)
         w32, lim32, n1 = run(x.astype(f32), tol32, w0.astype(f32), budget)
         # Re-orthonormalize at full precision before polishing: the f32
         # W carries ~eps_f32 departures from row-orthonormality.
         w_b = symmetric_decorrelation(w32.astype(x.dtype))
-        w, lim, n2 = run(x, tol, w_b, budget - n1)
+        w, lim, n2 = run(x, tol, w_b, budget - n1, use_pallas=False)
         # Budget exhausted in stage 1 → stage 2 never ran; report the
         # f32 stage's convergence measure (a non-converged fit, as the
         # reference reports via n_iter == max_iter, ica.rs:360).
@@ -289,10 +292,17 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
     never reached, matching the reference's return at ica.rs:360.
     """
     x = jnp.asarray(x)
+    # Under mixed precision the data matmuls run on an f32 copy, so the
+    # fused-contrast kernel decision is made for the f32 stage's dtype.
+    pallas_dtype = (
+        jnp.float32
+        if precision == "f32" and x.dtype == jnp.float64
+        else x.dtype
+    )
     w, _, n_iter = _ica_par_core(
         x, jnp.asarray(tol, jnp.real(x).dtype), int(max_iter),
         jnp.asarray(w_init), fun,
-        use_pallas=resolve_use_pallas(x.shape[0], x.dtype),
+        use_pallas=resolve_use_pallas(x.shape[0], pallas_dtype),
         decorrelation=decorrelation, precision=precision,
         cfg=_config.cache_key(),
     )
@@ -392,7 +402,7 @@ class FastIca:
         if x.shape[1] != self._means.shape[0]:
             raise InvalidInput("too many columns")
         target = jnp.promote_types(x.dtype, self._components.dtype)
-        ctx, x = _common.complex_host_ctx(x, dtype=target)
+        ctx, x = _common._maybe_host_ctx(x, target, self._mesh)
         with ctx:
             return mdot(x.astype(target) - self._means, self._components.T)
 
@@ -416,6 +426,7 @@ class FastIca:
         if self._mesh is None:
             ctx, x = _common.complex_host_ctx(x)
             with ctx:
+                self._key = _common.colocate(self._key, x)
                 return self._inner_fit_impl(x)
         return self._inner_fit_impl(x)
 
@@ -473,14 +484,9 @@ class FastIca:
             _linalg.check_certificate(
                 st["off"], jnp.real(x).dtype, d, "eigendecomposition"
             )
-            if _config.check_convergence:
-                tol = float(jnp.finfo(jnp.real(x).dtype).eps) ** 0.25
-                if float(st["w_orth_err"]) > tol:
-                    from ..errors import LinalgError
-
-                    raise LinalgError(
-                        "symmetric decorrelation did not converge"
-                    )
+            check_decorrelation_value(
+                st["w_orth_err"], jnp.real(x).dtype
+            )
             self._components = st["components"]
             self._means = st["means"]
             self._n_iter = int(st["n_iter"])
@@ -535,18 +541,30 @@ def decorrelation_certificate(w):
     return jnp.max(jnp.abs(mdot(g, g) - g))
 
 
-def check_decorrelation(w, what: str = "symmetric decorrelation") -> None:
-    """Raise ``LinalgError`` when the decorrelation certificate exceeds
-    its (loose) tolerance — failures are O(1), so eps**0.25 separates
-    them cleanly from Newton–Schulz/df64 working-precision residue."""
+def check_decorrelation_value(
+    err, dtype, what: str = "symmetric decorrelation"
+) -> None:
+    """Raise ``LinalgError`` when a decorrelation certificate value
+    exceeds its (loose) tolerance — failures are O(1), so eps**0.25
+    separates them cleanly from Newton–Schulz/df64 working-precision
+    residue.  NaN certificates fail the check (``not (err <= tol)``)."""
     from ..config import config as cfg
     from ..errors import LinalgError
 
     if not cfg.check_convergence:
         return
-    tol = float(jnp.finfo(jnp.real(jnp.asarray(w)).dtype).eps) ** 0.25
-    if float(decorrelation_certificate(w)) > tol:
+    tol = float(jnp.finfo(dtype).eps) ** 0.25
+    if not (float(err) <= tol):
         raise LinalgError(f"{what} did not converge")
+
+
+def check_decorrelation(w, what: str = "symmetric decorrelation") -> None:
+    """:func:`check_decorrelation_value` on ``w``'s own certificate."""
+    check_decorrelation_value(
+        decorrelation_certificate(w),
+        jnp.real(jnp.asarray(w)).dtype,
+        what,
+    )
 
 
 def _whitening_matrix(xt, k: int, solver: str):

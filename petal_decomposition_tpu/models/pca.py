@@ -141,7 +141,7 @@ class Pca:
         """Apply the learned projection (ref: pca.rs:130-135)."""
         return _common.transform(
             _common.as_matrix(x), self._components, self._means,
-            self._centering,
+            self._centering, mesh=self._mesh,
         )
 
     def fit_transform(self, x):
@@ -158,7 +158,8 @@ class Pca:
     def inverse_transform(self, y):
         """Back-project to the original space (ref: pca.rs:176-184)."""
         return _common.inverse_transform(
-            y, self._components, self._means, self._centering
+            y, self._components, self._means, self._centering,
+            mesh=self._mesh,
         )
 
     @staticmethod
@@ -304,13 +305,10 @@ class Pca:
                 )
             u = u[:n]
             if config.check_convergence:
-                tol = max(
-                    float(jnp.finfo(sigma.dtype).eps) * 4, 2.0 ** -45
-                ) * (max(n, d) ** 0.5)
-                if float(off) > tol:
-                    raise LinalgError(
-                        "singular value decomposition did not converge"
-                    )
+                _linalg.check_certificate(
+                    off, sigma.dtype, max(n, d),
+                    "singular value decomposition",
+                )
             self._total_variance = total_var
 
         self._components = vt[:k, :]

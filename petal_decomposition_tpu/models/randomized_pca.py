@@ -196,7 +196,7 @@ class RandomizedPca:
     def transform(self, x):
         return _common.transform(
             _common.as_matrix(x), self._components, self._means,
-            self._centering,
+            self._centering, mesh=self._mesh,
         )
 
     def fit_transform(self, x):
@@ -211,7 +211,8 @@ class RandomizedPca:
 
     def inverse_transform(self, y):
         return _common.inverse_transform(
-            y, self._components, self._means, self._centering
+            y, self._components, self._means, self._centering,
+            mesh=self._mesh,
         )
 
     def _inner_fit(self, x):
@@ -222,6 +223,7 @@ class RandomizedPca:
         if self._mesh is None:
             ctx, x = _common.complex_host_ctx(x)
             with ctx:
+                self._key = _common.colocate(self._key, x)
                 return self._inner_fit_impl(x)
         return self._inner_fit_impl(x)
 
@@ -281,9 +283,12 @@ class RandomizedPca:
 
         # Householder QR at f64 on an accelerator is emulation-bound
         # (measured 879 ms on a 100k×42 panel vs ~40 ms CholeskyQR2);
-        # the reference-parity QR rounding is kept on CPU and for f32.
+        # the reference-parity QR rounding is kept on CPU — including
+        # complex fits redirected to the host — and for f32.
+        from ..ops.linalg import effective_platform
+
         final_orth = "qr"
-        if jax.default_backend() != "cpu" and jnp.dtype(x.dtype) in (
+        if effective_platform() != "cpu" and jnp.dtype(x.dtype) in (
             jnp.float64,
             jnp.complex128,
         ):

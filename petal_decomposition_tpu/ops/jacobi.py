@@ -27,7 +27,6 @@ Two update modes:
 
 from __future__ import annotations
 
-import contextlib
 import functools
 from functools import partial
 
@@ -193,25 +192,6 @@ def _jacobi_svd_core(a, *, compute_v: bool, max_sweeps: int, update: str):
     return a, v, off, sweeps
 
 
-_DISABLE_VMEM_KERNELS = False
-
-
-@contextlib.contextmanager
-def disable_vmem_kernels():
-    """Trace-time switch: skip the VMEM Pallas kernels inside the
-    wrapped region.  Used by the mesh (GSPMD) fit paths — ``pallas_call``
-    has no SPMD partitioning rule, so sharded programs must stay on pure
-    XLA ops.  Callers must also vary the jit cache key (the ``cfg``
-    static argument) so kernel-free traces are cached separately."""
-    global _DISABLE_VMEM_KERNELS
-    old = _DISABLE_VMEM_KERNELS
-    _DISABLE_VMEM_KERNELS = True
-    try:
-        yield
-    finally:
-        _DISABLE_VMEM_KERNELS = old
-
-
 def _vmem_kernel_ok(a, m: int, n: int) -> bool:
     """Use the single-invocation VMEM Pallas kernel?  (f32 on TPU, shape
     within VMEM budget, compile probe passed.)  Under tracing, only a
@@ -220,8 +200,6 @@ def _vmem_kernel_ok(a, m: int, n: int) -> bool:
 
     from .pallas import jacobi_kernels as jk
 
-    if _DISABLE_VMEM_KERNELS:
-        return False
     if jax.default_backend() == "cpu":
         return False
     if not jk.supports(m, n, a.dtype):
@@ -238,8 +216,6 @@ def _vmem_f64_kernel_ok(a, m: int, n: int) -> bool:
 
     from .pallas import jacobi_f64_kernel as jk64
 
-    if _DISABLE_VMEM_KERNELS:
-        return False
     if jax.default_backend() == "cpu":
         return False
     if not jk64.supports(m, n, a.dtype):

@@ -60,24 +60,45 @@ def _is_high_precision_dtype(dtype) -> bool:
     return jnp.dtype(dtype) in (jnp.float64, jnp.complex128)
 
 
+def effective_platform() -> str:
+    """The platform computations are actually placed on: honors an
+    active ``jax.default_device`` override — the complex→host redirect
+    runs under ``jax.default_device(cpu)`` while ``default_backend()``
+    still reports the accelerator — before falling back to the backend
+    default."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def _use_jacobi(dtype) -> bool:
     backend = config.linalg_backend
     if backend == "jacobi":
         return True
     if backend == "xla":
         return False
+    if jnp.dtype(dtype) == jnp.complex128:
+        # The complex→host redirect exists precisely to reach host
+        # LAPACK (the reference's own c64 backend, lapack.rs:207-210);
+        # on an actual CPU placement use it.  Accelerator placements
+        # (explicit mesh, complex_device='default') keep the
+        # complex-capable Jacobi formulation.
+        return effective_platform() != "cpu"
     if _is_high_precision_dtype(dtype):
-        return True
+        return True  # f64: in-house routes meet the 1e-10 parity band
     # f32/c64 SVD: XLA's TPU lowering is unusable in this stack (the
     # compile helper SIGABRTs on f32 gesvd-equivalents), so every
-    # non-CPU backend routes through Jacobi.  CPU keeps LAPACK.
-    return jax.default_backend() != "cpu"
+    # non-CPU placement routes through Jacobi.  CPU — including the
+    # complex→host redirect — keeps LAPACK.
+    return effective_platform() != "cpu"
 
 
 def _check_converged(off, tol: float, what: str) -> None:
-    if config.check_convergence and float(off) > tol:
-        # LAPACK info != 0 analogue (ref: linalg.rs:84, 115: "did not
-        # converge").
+    # ``not (off <= tol)`` so a NaN certificate FAILS the check — a NaN
+    # off-diagonal means the factorization itself produced non-finite
+    # values (LAPACK info != 0 analogue; ref: linalg.rs:84, 115).
+    if config.check_convergence and not (float(off) <= tol):
         raise LinalgError(f"{what} did not converge")
 
 
@@ -107,15 +128,18 @@ def eigh_jit_cert(a):
     if (
         config.linalg_backend == "auto"
         and a.dtype == jnp.float64
-        and a.shape[0] > 512
-        and jax.default_backend() != "cpu"
+        and a.shape[0] > 384
+        and effective_platform() != "cpu"
     ):
         # Large f64 on an accelerator: neither the df64 VMEM kernel
-        # (n ≳ 630 exceeds VMEM) nor the XLA-formulated rotation loop
+        # (square support tops out near n ≈ 404 under the 10 MB
+        # working-set bound) nor the XLA-formulated rotation loop
         # (n·sweeps sequential emulated-f64 matmuls — ~45 min at
         # n=1024) is practical.  f32 MXU eigh + matmul-only f64
         # Ogita–Aishima refinement reaches ~1e-13 relative residuals
-        # in seconds (ops/refine.py).
+        # in seconds (ops/refine.py).  The 384 threshold sits just
+        # inside the kernel's square envelope so no size falls in a
+        # gap between the two routes.
         from .refine import refined_eigh
 
         w, v, off_r = refined_eigh(a)
@@ -123,8 +147,14 @@ def eigh_jit_cert(a):
         return w, v, off
     if config.linalg_backend != "xla" and (
         config.linalg_backend == "jacobi"
-        or a.dtype in (jnp.float64, jnp.complex128)
+        or a.dtype == jnp.float64
+        or (
+            a.dtype == jnp.complex128
+            and effective_platform() != "cpu"
+        )
     ):
+        # c128 on an actual CPU placement (the complex→host redirect)
+        # falls through to LAPACK below — the reference's own backend.
         w, v, off, _ = jacobi_eigh(a)
         return w, v, off
     w, v = jnp.linalg.eigh(a)
@@ -243,12 +273,9 @@ def svd(a, compute_vt: bool = True):
         return u, s, vt
     if _use_jacobi(a.dtype):
         u, s, vt, off, _ = jacobi_svd(a, compute_v=True)
-        # max(...) accommodates the df64 kernel's 2^-48 working
-        # precision on the f64 path; unchanged for f32.
-        tol = max(float(jnp.finfo(s.dtype).eps) * 4, 2.0 ** -45) * (
-            max(a.shape) ** 0.5
+        check_certificate(
+            off, s.dtype, max(a.shape), "singular value decomposition"
         )
-        _check_converged(off, tol, "singular value decomposition")
     else:
         u, s, vt = jnp.linalg.svd(a, full_matrices=False)
     if not compute_vt:

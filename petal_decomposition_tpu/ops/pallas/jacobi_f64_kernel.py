@@ -157,15 +157,12 @@ def supports(m: int, n: int, dtype) -> bool:
     if n < 2:
         return False
     n_pad = n + (n % 2)
-    # Padded-footprint bound: Mosaic lane-pads (m, w) temporaries to 128
-    # lanes and the df64 body keeps roughly twice as many live as the
-    # f32 kernel — same empirical cap applies (see jacobi_kernels).
-    if m * max(n_pad, 128) > 400_000:
-        return False
-    # Scoped-VMEM stack bound: Mosaic's allocator reported needing
-    # ~17.8 live lane-padded (m, n_pad→128) f32 buffers for a 2000×18
-    # panel (18.21 MB against its 16 MB scoped limit — found by a TPU
-    # shape sweep).  Conservatively require 18 such buffers to fit.
+    # Scoped-VMEM stack bound: Mosaic lane-pads every (m, w) temporary
+    # to 128 lanes and its allocator reported needing ~17.8 live such
+    # f32 buffers for a 2000×18 panel (18.21 MB against the 16 MB
+    # scoped limit — found by a TPU shape sweep).  Requiring 18 padded
+    # buffers to fit caps m·max(n_pad, 128) at ~233k, which subsumes
+    # the earlier empirical 400k padded-element cap.
     if 18 * m * max(n_pad, 128) * 4 > 16 * 1024 * 1024:
         return False
     working = (8 * m * n_pad + 8 * n_pad * n_pad) * 4

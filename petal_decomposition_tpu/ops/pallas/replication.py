@@ -10,8 +10,8 @@ on its full copy and the outputs are declared replicated.  This module
 holds the trace-time context that tells the kernel wrappers which mesh
 to map over; without it they call ``pallas_call`` directly.
 
-The round-1 build instead disabled every VMEM kernel inside mesh traces
-(``ops.jacobi.disable_vmem_kernels``), silently dropping the 5-27×
+The round-1 build instead disabled every VMEM kernel inside mesh
+traces, silently dropping the 5-27×
 df64-kernel wins for sharded f64 fits; this context is the fix
 (VERDICT round 1, item 3).
 """
@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import contextlib
 
-__all__ = ["replicated_kernel_mesh", "current_mesh", "wrap_replicated"]
+__all__ = ["replicated_kernel_mesh", "current_mesh"]
 
 _MESH = None
 
@@ -43,27 +43,3 @@ def replicated_kernel_mesh(mesh):
 
 def current_mesh():
     return _MESH
-
-
-def wrap_replicated(fn, n_out: int):
-    """Wrap ``fn(*arrays) -> tuple`` to run under ``jax.shard_map`` with
-    replicated specs when a mesh context is active; identity otherwise.
-
-    ``check_vma=False``: the value-varying-across-mesh checker cannot
-    see through ``pallas_call``; replication holds because the kernel is
-    a deterministic function of replicated inputs.
-    """
-    mesh = _MESH
-    if mesh is None:
-        return fn
-
-    import jax
-    from jax.sharding import PartitionSpec as P
-
-    return jax.shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=P(),
-        out_specs=tuple(P() for _ in range(n_out)),
-        check_vma=False,
-    )

@@ -208,7 +208,9 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
             if x.dtype == jnp.float64 and jax.default_backend() != "cpu"
             else "full"
         )
-    mixed = finder_precision == "f32" and x.dtype != jnp.float32
+    # Mixed mode is float64-only: casting complex data to float32
+    # would silently discard the imaginary half of the sketch.
+    mixed = finder_precision == "f32" and x.dtype == jnp.float64
 
     def norm(m):
         if normalizer == "lu":

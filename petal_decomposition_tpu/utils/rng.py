@@ -24,17 +24,36 @@ _MASK64 = (1 << 64) - 1
 _MASK32 = (1 << 32) - 1
 
 
+def _host_ctx():
+    """Default-device context for eager key arithmetic.
+
+    Key construction/splitting are tiny uint32 ops; running them on the
+    host keeps them off the accelerator entirely — through a remote-TPU
+    tunnel every first eager op pays a remote kernel compile (measured:
+    a model ``build()`` whose ``key_from_seed`` ran on the chip cost up
+    to ~190 s on first touch).  Threefry is bit-deterministic across
+    platforms, and jitted fits receive the key by plain transfer."""
+    import contextlib
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # no CPU platform registered
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def key_from_seed(seed: int) -> jax.Array:
     """Build a PRNG key from an arbitrary-width integer seed (u128 in the
     reference API, ref: pca.rs:356-359)."""
     seed = int(seed)
-    # Fold in 32-bit limbs: jax.random.key only accepts int64-range
-    # seeds, while the reference API takes a full u128.
-    key = jax.random.key(seed & _MASK32)
-    rest = seed >> 32
-    while rest:
-        key = jax.random.fold_in(key, rest & _MASK32)
-        rest >>= 32
+    with _host_ctx():
+        # Fold in 32-bit limbs: jax.random.key only accepts int64-range
+        # seeds, while the reference API takes a full u128.
+        key = jax.random.key(seed & _MASK32)
+        rest = seed >> 32
+        while rest:
+            key = jax.random.fold_in(key, rest & _MASK32)
+            rest >>= 32
     return key
 
 

@@ -203,3 +203,17 @@ def test_qdwh_svd_matches_lapack():
     assert np.abs(vv.T @ vv - np.eye(d)).max() < 2e-5
     recon = np.asarray(a_rot, np.float64) @ vv.T
     assert np.abs(recon - x64).max() < 3e-6
+
+
+def test_effective_platform_honors_default_device():
+    """The complex→host redirect runs under jax.default_device(cpu);
+    dispatch decisions must see 'cpu' there, not the backend default
+    (review finding: host-redirected c64 ran the Jacobi loop instead of
+    LAPACK)."""
+    import jax
+
+    from petal_decomposition_tpu.ops.linalg import effective_platform
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        assert effective_platform() == "cpu"

@@ -298,3 +298,18 @@ def test_randomized_pca_single_sample_all_orth_paths():
         for k in ("u", "sigma", "vt"):
             assert np.all(np.isfinite(np.asarray(st[k]))), (fo, k)
         np.testing.assert_allclose(np.asarray(st["sigma"]), 0.0)
+
+
+def test_finder_precision_f32_ignored_for_complex():
+    """Mixed finder mode is float64-only: casting complex data to f32
+    would silently discard the imaginary half of the sketch (review
+    finding).  An explicit "f32" on complex data must behave exactly
+    like "full"."""
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((200, 10))
+         + 1j * rng.standard_normal((200, 10))).astype(np.complex128)
+    full = RandomizedPcaBuilder(3).seed(5).finder_precision("full").build()
+    yf = np.asarray(full.fit_transform(x))
+    mixed = RandomizedPcaBuilder(3).seed(5).finder_precision("f32").build()
+    ym = np.asarray(mixed.fit_transform(x))
+    np.testing.assert_allclose(ym, yf, atol=1e-10)

@@ -260,3 +260,19 @@ def test_fast_ica_sharded_mixed_precision_matches_unsharded(mesh):
         np.asarray(ref.components()),
         atol=1e-7,
     )
+
+
+def test_mesh_model_complex_transform_not_redirected(mesh):
+    """transform/inverse_transform on a mesh-fitted model must not
+    redirect complex inputs to the host (the fitted state lives on the
+    mesh; review finding: cross-device jit error on accelerators)."""
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((64, 6))
+    pca = PcaBuilder(2).mesh(mesh).build()
+    pca.fit(x)
+    z = rng.standard_normal((5, 6)) + 1j * rng.standard_normal((5, 6))
+    y = np.asarray(pca.transform(z))
+    ref = (z - np.asarray(pca.mean())) @ np.asarray(pca.components()).conj().T
+    np.testing.assert_allclose(y, ref, atol=1e-10)
+    back = np.asarray(pca.inverse_transform(y))
+    assert back.shape == z.shape and np.all(np.isfinite(back.real))
