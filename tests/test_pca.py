@@ -241,3 +241,26 @@ def test_complex_host_ctx_noop_on_cpu():
     ctx, x2 = complex_host_ctx(x)
     assert isinstance(ctx, contextlib.nullcontext)
     assert x2 is x
+
+
+def test_real_fit_after_complex_fit_same_model():
+    """A real-dtype fit following a complex fit on the same model must
+    behave identically to a fresh model's fit (the complex redirect
+    must not leave host-committed state — e.g. the PRNG key — that
+    would drag later fits onto the CPU)."""
+    import jax
+
+    from petal_decomposition_tpu import RandomizedPcaBuilder
+
+    rng = np.random.default_rng(9)
+    xc = (rng.standard_normal((100, 8))
+          + 1j * rng.standard_normal((100, 8))).astype(np.complex128)
+    xr = rng.standard_normal((100, 8))
+
+    model = RandomizedPcaBuilder(3).seed(11).build()
+    model.fit(xc)
+    y = np.asarray(model.fit_transform(xr))
+    assert np.all(np.isfinite(y))
+    assert not getattr(model._key, "_committed", False) or (
+        list(model._key.devices())[0] in jax.devices()
+    )
