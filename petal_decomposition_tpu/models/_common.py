@@ -49,9 +49,10 @@ def complex_host_ctx(x, dtype=None):
         and jnp.issubdtype(decide, jnp.complexfloating)
         and jax.default_backend() != "cpu"
     ):
-        try:
-            dev = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:  # no CPU platform registered
+        from ..utils.rng import host_cpu_device
+
+        dev = host_cpu_device()
+        if dev is None:  # no CPU platform registered
             return contextlib.nullcontext(), x
         return jax.default_device(dev), jax.device_put(x, dev)
     return contextlib.nullcontext(), x
@@ -82,6 +83,26 @@ def check_min_dims(x, n_components: int) -> None:
 def check_fitted(components) -> None:
     if components is None:
         raise InvalidInput("model has not been fitted")
+
+
+def run_host_redirected_fit(model, x, fit_impl):
+    """Run ``fit_impl(x)`` under the complex→host redirect with the
+    model's PRNG key co-located on the host, restoring the key to the
+    default device afterwards — **also on error** (a key left committed
+    to the CPU would silently drag the next real-dtype fit's jit onto
+    the host).  No-op wrapper for real dtypes."""
+    import jax
+
+    ctx, x2 = complex_host_ctx(x)
+    if x2 is x:  # not redirected
+        with ctx:
+            return fit_impl(x2)
+    try:
+        with ctx:
+            model._key = colocate(model._key, x2)
+            return fit_impl(x2)
+    finally:
+        model._key = jax.device_put(model._key, jax.devices()[0])
 
 
 def colocate(arr, ref):

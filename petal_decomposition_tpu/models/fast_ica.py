@@ -424,18 +424,9 @@ class FastIca:
         # programs are impractical — see _common.complex_host_ctx).
         # An explicit mesh wins: mesh fits are never redirected.
         if self._mesh is None:
-            ctx, x2 = _common.complex_host_ctx(x)
-            redirected = x2 is not x
-            with ctx:
-                if redirected:
-                    self._key = _common.colocate(self._key, x2)
-                out = self._inner_fit_impl(x2)
-            if redirected:
-                # Re-home the key on the default device: a key left
-                # committed to the host would silently drag the next
-                # (real-dtype) fit's jit onto the CPU.
-                self._key = jax.device_put(self._key, jax.devices()[0])
-            return out
+            return _common.run_host_redirected_fit(
+                self, x, self._inner_fit_impl
+            )
         return self._inner_fit_impl(x)
 
     def _inner_fit_impl(self, x):

@@ -200,7 +200,9 @@ def _vmem_kernel_ok(a, m: int, n: int) -> bool:
 
     from .pallas import jacobi_kernels as jk
 
-    if jax.default_backend() == "cpu":
+    from .linalg import effective_platform
+
+    if effective_platform() != "tpu":
         return False
     if not jk.supports(m, n, a.dtype):
         return False
@@ -216,7 +218,9 @@ def _vmem_f64_kernel_ok(a, m: int, n: int) -> bool:
 
     from .pallas import jacobi_f64_kernel as jk64
 
-    if jax.default_backend() == "cpu":
+    from .linalg import effective_platform
+
+    if effective_platform() != "tpu":
         return False
     if not jk64.supports(m, n, a.dtype):
         return False
@@ -229,7 +233,9 @@ def warm_kernel_probes(dtype) -> None:
     """Run the one-time Pallas compile probes eagerly so subsequently
     traced (jitted) pipelines can dispatch the VMEM kernels — under
     tracing only an already-run probe counts."""
-    if jax.default_backend() == "cpu":
+    from .linalg import effective_platform
+
+    if effective_platform() != "tpu":
         return
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float32:
@@ -262,9 +268,11 @@ def _qdwh_svd_ok(a, m: int, n: int) -> bool:
     this, f64 beyond the df64 VMEM kernel (n ≳ 630) fell to the
     dispatch/emulation-bound XLA rotation loop (hours at n = 4096).
     (Pure XLA ops — partitions fine under mesh traces too.)"""
+    from .linalg import effective_platform
+
     if a.dtype not in (jnp.float32, jnp.float64):
         return False
-    if jax.default_backend() == "cpu":
+    if effective_platform() == "cpu":
         return False  # LAPACK gesvd serves every width on host
     return n >= 2
 

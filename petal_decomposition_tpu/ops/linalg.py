@@ -65,10 +65,11 @@ def effective_platform() -> str:
     active ``jax.default_device`` override — the complex→host redirect
     runs under ``jax.default_device(cpu)`` while ``default_backend()``
     still reports the accelerator — before falling back to the backend
-    default."""
+    default.  The override may be a Device or a platform-name string
+    (``jax.default_device("cpu")`` is legal)."""
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform
+        return dev if isinstance(dev, str) else dev.platform
     return jax.default_backend()
 
 
@@ -185,7 +186,7 @@ def eigh_psd_jit_cert(a):
     if (
         config.linalg_backend in ("auto", "jacobi")
         and a.dtype == jnp.float64
-        and jax.default_backend() != "cpu"
+        and effective_platform() == "tpu"
     ):
         from .pallas import jacobi_f64_kernel as jk64
 
@@ -244,7 +245,7 @@ def _use_native(dtype, shape=None) -> bool:
         and shape is not None
         and config.host_offload_max_elements > 0
         and int(np.prod(shape)) <= config.host_offload_max_elements
-        and jax.default_backend() != "cpu"
+        and effective_platform() != "cpu"
     ):
         # Tiny problem on an accelerator: dispatch latency dominates —
         # the host-native core (the reference's own architecture) wins.

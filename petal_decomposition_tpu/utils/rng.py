@@ -24,6 +24,16 @@ _MASK64 = (1 << 64) - 1
 _MASK32 = (1 << 32) - 1
 
 
+def host_cpu_device():
+    """The first host CPU device, or ``None`` when no CPU platform is
+    registered.  Shared by the key builder below and the complex→host
+    redirect (`models._common.complex_host_ctx`)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def _host_ctx():
     """Default-device context for eager key arithmetic.
 
@@ -35,9 +45,8 @@ def _host_ctx():
     platforms, and jitted fits receive the key by plain transfer."""
     import contextlib
 
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:  # no CPU platform registered
+    cpu = host_cpu_device()
+    if cpu is None:
         return contextlib.nullcontext()
     return jax.default_device(cpu)
 

@@ -261,6 +261,15 @@ def test_real_fit_after_complex_fit_same_model():
     model.fit(xc)
     y = np.asarray(model.fit_transform(xr))
     assert np.all(np.isfinite(y))
-    assert not getattr(model._key, "_committed", False) or (
-        list(model._key.devices())[0] in jax.devices()
-    )
+    # A committed key must live on the default backend, not the host
+    # (host-committed keys drag real fits' jits onto the CPU).
+    if getattr(model._key, "_committed", False):
+        dev = list(model._key.devices())[0]
+        assert dev.platform == jax.default_backend()
+    # Errors inside a redirected fit must not leak a host-committed key.
+    bad = (np.zeros((2, 8)) + 0j).astype(np.complex128)
+    with pytest.raises(Exception):
+        model.fit(bad[:, :1])  # too few columns for n_components=3
+    if getattr(model._key, "_committed", False):
+        dev = list(model._key.devices())[0]
+        assert dev.platform == jax.default_backend()
