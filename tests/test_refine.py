@@ -114,3 +114,22 @@ def test_refine_fuzz_random_symmetric():
         np.testing.assert_allclose(
             lam, np.linalg.eigvalsh(a), atol=1e-12 * scale
         )
+
+
+def test_qdwh_svd_f64_rank_deficient():
+    """The f64 QDWH route on exactly rank-deficient input: QDWH maps
+    zero singular values to zero, the refined eigh resolves the null
+    space, σ matches LAPACK to ~1e-13·σ₁ with a clean zero tail."""
+    from petal_decomposition_tpu.ops.jacobi import _qdwh_svd
+
+    rng = np.random.default_rng(0)
+    m, n, r = 600, 400, 30
+    a = rng.standard_normal((m, r)) @ rng.standard_normal((r, n))
+    a_rot, v, off = _qdwh_svd(jnp.asarray(a), m, n)
+    a_rot = np.asarray(a_rot)
+    assert float(off) == 0.0
+    assert np.all(np.isfinite(a_rot)) and np.all(np.isfinite(np.asarray(v)))
+    s = np.sort(np.sqrt((a_rot * a_rot).sum(axis=0)))[::-1]
+    s_ref = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, atol=1e-12 * s_ref[0])
+    assert s[r:].max() < 1e-12 * s_ref[0]
