@@ -105,6 +105,16 @@ def run_host_redirected_fit(model, x, fit_impl):
         model._key = jax.device_put(model._key, jax.devices()[0])
 
 
+def real_dtype(dtype):
+    """The real dtype matching ``dtype`` — computed from the dtype
+    alone (``jnp.real(x).dtype`` materializes the full real part of a
+    complex array just to read its dtype)."""
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    return dtype
+
+
 def colocate(arr, ref):
     """Place ``arr`` on ``ref``'s (single) device.
 
@@ -144,6 +154,11 @@ def transform(x, components, means, centering: bool, mesh=None):
     target = jnp.promote_types(x.dtype, components.dtype)
     ctx, x = _maybe_host_ctx(x, target, mesh)
     with ctx:
+        # Accelerator-committed model state (e.g. from a fit on a
+        # device_put input) must follow the redirected input to the
+        # host, or the op raises an incompatible-devices error.
+        components = colocate(components, x)
+        means = colocate(means, x)
         x = x.astype(target)
         if centering:
             x = x - means
@@ -172,6 +187,8 @@ def inverse_transform(y, components, means, centering: bool, mesh=None):
     target = jnp.promote_types(y.dtype, components.dtype)
     ctx, y = _maybe_host_ctx(y, target, mesh)
     with ctx:
+        components = colocate(components, y)
+        means = colocate(means, y)
         out = mdot(y.astype(target), components)
         if centering:
             out = out + means

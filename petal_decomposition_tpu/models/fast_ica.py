@@ -275,11 +275,13 @@ def resolve_iteration_precision(setting: str, dtype) -> str:
     slower than f32 — and ``"full"`` everywhere else (CPU LAPACK-grade
     f64 gemms are already fast; f32/complex data always iterates at its
     own dtype)."""
+    from ..ops.linalg import effective_platform
+
     if setting != "auto":
         return setting
     return (
         "f32"
-        if dtype == jnp.float64 and jax.default_backend() != "cpu"
+        if dtype == jnp.float64 and effective_platform() != "cpu"
         else "full"
     )
 
@@ -300,7 +302,7 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
         else x.dtype
     )
     w, _, n_iter = _ica_par_core(
-        x, jnp.asarray(tol, jnp.real(x).dtype), int(max_iter),
+        x, jnp.asarray(tol, _common.real_dtype(x.dtype)), int(max_iter),
         jnp.asarray(w_init), fun,
         use_pallas=resolve_use_pallas(x.shape[0], pallas_dtype),
         decorrelation=decorrelation, precision=precision,
@@ -404,7 +406,9 @@ class FastIca:
         target = jnp.promote_types(x.dtype, self._components.dtype)
         ctx, x = _common._maybe_host_ctx(x, target, self._mesh)
         with ctx:
-            return mdot(x.astype(target) - self._means, self._components.T)
+            components = _common.colocate(self._components, x)
+            means = _common.colocate(self._means, x)
+            return mdot(x.astype(target) - means, components.T)
 
     def fit_transform(self, x):
         """Fit, then return ``(components·X_c)ᵀ`` (ref: ica.rs:147-157)."""
@@ -481,10 +485,10 @@ class FastIca:
                     cfg=_config.cache_key() + (self._mesh,),
                 )
             _linalg.check_certificate(
-                st["off"], jnp.real(x).dtype, d, "eigendecomposition"
+                st["off"], _common.real_dtype(x.dtype), d, "eigendecomposition"
             )
             check_decorrelation_value(
-                st["w_orth_err"], jnp.real(x).dtype
+                st["w_orth_err"], _common.real_dtype(x.dtype)
             )
             self._components = st["components"]
             self._means = st["means"]
@@ -499,7 +503,7 @@ class FastIca:
         )
         if self._whiten_solver == "eigh":
             _linalg.check_certificate(
-                whiten_off, jnp.real(x).dtype, d, "eigendecomposition"
+                whiten_off, _common.real_dtype(x.dtype), d, "eigendecomposition"
             )
         # X₁ = K·Xᵀ·√n  (ref: ica.rs:204-208; the √n factor makes the
         # whitened rows unit-variance under the 1/n inner product).
@@ -561,7 +565,7 @@ def check_decorrelation(w, what: str = "symmetric decorrelation") -> None:
     """:func:`check_decorrelation_value` on ``w``'s own certificate."""
     check_decorrelation_value(
         decorrelation_certificate(w),
-        jnp.real(jnp.asarray(w)).dtype,
+        _common.real_dtype(jnp.asarray(w).dtype),
         what,
     )
 
@@ -593,10 +597,15 @@ def _whitening_matrix(xt, k: int, solver: str):
     # (The reference reads uninitialized memory here — SURVEY C13; this
     # is the fixed behavior.)
     eps = jnp.finfo(sigma_k.dtype).eps
-    # numpy-style rank tolerance: σ below σmax·eps·max(d, n) is
-    # numerically zero.  (A bare 10·eps misses directions a few eps above
-    # the noise floor, whose 1/σ then amplifies roundoff by ~1e12.)
-    cutoff = sigma[0] * eps * max(xt.shape)
+    # Rank tolerance: σ below σmax·eps·4√(max dim) is numerically zero.
+    # A bare 10·eps misses directions a few eps above the noise floor
+    # (whose 1/σ then amplifies roundoff by ~1e12), while the
+    # numpy-style linear max(d, n) factor over-prunes at large sample
+    # counts — for float32 with n = 5·10⁵ it reaches 0.06·σmax and
+    # silently kills genuinely significant components (κ > ~17).  The
+    # √-scaled factor tracks the statistical growth of accumulated
+    # rounding instead.
+    cutoff = sigma[0] * eps * max(10.0, 4.0 * max(xt.shape) ** 0.5)
     ok = sigma_k > cutoff
     inv = jnp.where(ok, 1.0 / jnp.where(ok, sigma_k, 1), 0)
     kmat = (u_k * inv.astype(u_k.dtype)[None, :]).T

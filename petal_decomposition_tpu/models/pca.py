@@ -245,12 +245,14 @@ class Pca:
                 )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
-            self._total_variance = st["total_variance"]
             # Surface eigensolver non-convergence like every other path
-            # (LAPACK info != 0 analogue, ref: linalg.rs:84).
+            # (LAPACK info != 0 analogue, ref: linalg.rs:84) BEFORE any
+            # state mutation — a failed refit must leave a previously
+            # fitted model untouched.
             _linalg.check_certificate(
                 st["off"], sigma.dtype, d, "eigendecomposition"
             )
+            self._total_variance = st["total_variance"]
         elif self._mesh is None and _linalg._use_native(x.dtype, x.shape):
             # Host-native backend, or a tiny problem on an accelerator
             # (dispatch-latency-bound) offloaded to the C++ core.  The

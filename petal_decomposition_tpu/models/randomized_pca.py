@@ -262,11 +262,13 @@ class RandomizedPca:
                 )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
             means = st["means"]
-            self._total_variance = st["total_variance"]
+            # Check before mutating: a failed refit must leave a
+            # previously fitted model untouched.
             _linalg.check_certificate(
                 st["off"], sigma.dtype, d,
                 "singular value decomposition",
             )
+            self._total_variance = st["total_variance"]
             self._components = vt[:k, :]
             self._n_samples = n
             self._means = means

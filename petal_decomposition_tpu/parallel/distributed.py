@@ -203,9 +203,11 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     )
     l = min(n_components + n_oversamples, n, d)
     if finder_precision == "auto":
+        from ..ops.linalg import effective_platform
+
         finder_precision = (
             "f32"
-            if x.dtype == jnp.float64 and jax.default_backend() != "cpu"
+            if x.dtype == jnp.float64 and effective_platform() != "cpu"
             else "full"
         )
     # Mixed mode is float64-only: casting complex data to float32
@@ -290,6 +292,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     step reduces the k×n whitened data against Gᵀ (psum) and solves the
     replicated k×k decorrelation eigenproblem on every device.
     """
+    from ..models._common import real_dtype as _real_dtype_of
     from ..models.fast_ica import _ica_par_core
 
     n = x.shape[0] if n_valid is None else n_valid
@@ -303,9 +306,12 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     lam = lam[::-1][:k]
     v_k = v[:, ::-1][:, :k]
     sigma = jnp.sqrt(jnp.maximum(lam, 0))
-    # Relative cutoff: degenerate directions whiten to zero (see
-    # models.fast_ica._whitening_matrix; numpy-style rank tolerance).
-    cutoff = sigma[0] * jnp.finfo(sigma.dtype).eps * max(n, d)
+    # Relative cutoff: degenerate directions whiten to zero (same
+    # √-scaled rank tolerance as models.fast_ica._whitening_matrix —
+    # a linear max(n, d) factor over-prunes f32 fits at large n).
+    cutoff = sigma[0] * jnp.finfo(sigma.dtype).eps * max(
+        10.0, 4.0 * max(n, d) ** 0.5
+    )
     ok = sigma > cutoff
     inv_sigma = jnp.where(ok, 1.0 / jnp.where(ok, sigma, 1), 0)
     kmat = (v_k * inv_sigma.astype(v_k.dtype)[None, :]).T  # (k, d) replicated
@@ -316,7 +322,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     w_init = rng_util.normal(key, (k, k), x.dtype)
     with jax.named_scope("ica_par"):
         w, lim, n_iter = _ica_par_core(
-            x1, jnp.asarray(tol, jnp.real(x).dtype), max_iter, w_init, fun,
+            x1, jnp.asarray(tol, _real_dtype_of(x.dtype)), max_iter, w_init, fun,
             n_valid=n_valid, use_pallas=False,  # kernel is single-device
             decorrelation=decorrelation, precision=precision, cfg=cfg,
         )

@@ -382,3 +382,26 @@ def test_fast_ica_k_exceeds_data_rank():
     assert y.shape == (5000, 4)
     assert np.all(np.isfinite(y))
     assert np.all(np.isfinite(np.asarray(ica.components())))
+
+
+def test_whitening_cutoff_f32_large_n():
+    """The rank cutoff must not scale linearly with sample count: an
+    f32 fit with n=150k and a κ≈100 mixing matrix has a genuine
+    whitened direction at σ ≈ 0.01·σmax, which a numpy-style
+    σmax·eps·max(n,d) tolerance (= 0.018·σmax here) silently zeroes —
+    losing a source (max-effort review finding)."""
+    rng = np.random.default_rng(21)
+    n = 150_000
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n)),
+         np.sign(rng.standard_normal(n)) * rng.standard_normal(n) ** 2],
+        axis=1,
+    )
+    q1, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    q2, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    mixing = q1 @ np.diag([1.0, 1.0, 0.01]) @ q2  # kappa = 100
+    x = (s @ mixing.T).astype(np.float32)
+    ica = FastIca.with_seed(RNG_SEED)
+    y = np.asarray(ica.fit_transform(x))
+    corr = np.abs(np.corrcoef(y.T, s.T)[:3, 3:])
+    assert np.all(corr.max(axis=1) > 0.9), corr.max(axis=1)
