@@ -326,13 +326,13 @@ class FastIca:
 
     def __init__(self, *, seed: int | None = None, key=None,
                  fun: str = "logcosh", tol: float = 1e-4,
-                 max_iter: int = 200, whiten_solver: str = "svd",
+                 max_iter: int = 200, whiten_solver: str = "auto",
                  mesh=None, n_components: int | None = None,
                  decorrelation: str = "eigh",
                  iteration_precision: str = "auto"):
         if fun not in _CONTRASTS:
             raise ValueError(f"unknown contrast function {fun!r}")
-        if whiten_solver not in ("svd", "eigh"):
+        if whiten_solver not in ("auto", "svd", "eigh"):
             raise ValueError(f"unknown whiten solver {whiten_solver!r}")
         if decorrelation not in ("eigh", "ns"):
             raise ValueError(f"unknown decorrelation {decorrelation!r}")
@@ -498,10 +498,24 @@ class FastIca:
         means = jnp.mean(x, axis=0)
         xt = (x - means).T  # (d, n) — ref: ica.rs:178-188
 
-        kmat, _sigma, whiten_off = _whitening_matrix(
-            xt, k, self._whiten_solver
-        )
-        if self._whiten_solver == "eigh":
+        # "auto": the reference-faithful SVD whitening (ica.rs:189)
+        # everywhere it is cheap, but f64 on an accelerator pays an
+        # emulation-bound Householder QR inside the tall-SVD
+        # preconditioning (~800 ms on a 100k×64 panel) — the Gram/eigh
+        # whitening replaces it with one fast emulated gemm + a small
+        # eigh (measured: 64-source 100k-sample f64 fit 5.0 s → 2.7 s).
+        # Whitening accuracy is tol-bounded by the ICA iteration either
+        # way.
+        solver = self._whiten_solver
+        if solver == "auto":
+            solver = (
+                "eigh"
+                if x.dtype == jnp.float64
+                and _linalg.effective_platform() != "cpu"
+                else "svd"
+            )
+        kmat, _sigma, whiten_off = _whitening_matrix(xt, k, solver)
+        if solver == "eigh":
             _linalg.check_certificate(
                 whiten_off, _common.real_dtype(x.dtype), d, "eigendecomposition"
             )
@@ -625,7 +639,7 @@ class FastIcaBuilder:
         self._fun = "logcosh"
         self._tol = 1e-4
         self._max_iter = 200
-        self._whiten_solver = "svd"
+        self._whiten_solver = "auto"
         self._mesh = None
         self._n_components = None
         self._decorrelation = "eigh"

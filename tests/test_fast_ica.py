@@ -405,3 +405,14 @@ def test_whitening_cutoff_f32_large_n():
     y = np.asarray(ica.fit_transform(x))
     corr = np.abs(np.corrcoef(y.T, s.T)[:3, 3:])
     assert np.all(corr.max(axis=1) > 0.9), corr.max(axis=1)
+
+
+def test_whiten_solver_auto_matches_svd_on_cpu():
+    """``whiten_solver="auto"`` resolves to the reference-faithful SVD
+    whitening on CPU placements — bit-identical to an explicit "svd"."""
+    x, _ = _mixture(seed=13)
+    a = FastIca(seed=RNG_SEED, whiten_solver="auto").fit_transform(x)
+    b = FastIca(seed=RNG_SEED, whiten_solver="svd").fit_transform(x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        FastIca(whiten_solver="qr")
