@@ -97,3 +97,37 @@ if not os.environ.get("PETAL_TPU_NO_X64"):
     # The reference is an f64-first LAPACK library; mirror that default so
     # float64 numpy inputs are not silently truncated to f32.
     enable_x64()
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at ``path``.
+
+    The QDWH + refined-eigh f64 SVD route costs a one-time multi-minute
+    XLA compile (docs/DESIGN.md); the reference's LAPACK backend has
+    zero warm-up, so matching its usability means never paying that
+    compile twice.  Enabled at import (default
+    ``~/.cache/petal_tpu_jax``); opt out with
+    ``PETAL_TPU_NO_COMPILE_CACHE=1`` or override the location with
+    ``PETAL_TPU_COMPILE_CACHE_DIR``.
+    """
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "PETAL_TPU_COMPILE_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "petal_tpu_jax"
+            ),
+        )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache every compile that costs ≥ 1 s — the tiny-probe compiles
+        # stay out, every pipeline/kernel compile is captured.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):  # unwritable FS / very old jax
+        pass
+
+
+if not os.environ.get("PETAL_TPU_NO_COMPILE_CACHE"):
+    enable_compilation_cache()

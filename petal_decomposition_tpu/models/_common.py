@@ -14,10 +14,41 @@ from ..ops.linalg import mdot
 __all__ = [
     "as_matrix",
     "check_min_dims",
+    "check_mesh_complex",
     "transform",
     "transform_with_u",
     "inverse_transform",
 ]
+
+
+def _check_mesh_complex_platforms(platforms: set[str], dtype) -> None:
+    """Raise for complex dtypes on a mesh containing accelerator
+    devices (factored out for direct unit testing — the CPU test
+    environment cannot construct an accelerator mesh)."""
+    if not jnp.issubdtype(jnp.result_type(dtype), jnp.complexfloating):
+        return
+    accel = platforms - {"cpu"}
+    if accel:
+        raise InvalidInput(
+            "complex fits on an accelerator mesh are unsupported: "
+            "complex XLA:TPU programs are impractical on this stack "
+            "(DESIGN.md §2), and mesh fits are never host-redirected. "
+            "Drop .mesh(...) to use the host-redirected complex path "
+            "(the reference's own c32/c64 backend is host LAPACK, "
+            "lapack.rs:207-210), or build the mesh from CPU devices. "
+            f"Mesh platforms: {sorted(platforms)}."
+        )
+
+
+def check_mesh_complex(mesh, dtype) -> None:
+    """The complex-on-mesh contract: complex fits require either no
+    mesh (→ host redirect) or an all-CPU mesh; an accelerator mesh
+    raises ``InvalidInput`` up front instead of walking into a
+    compile that effectively never returns."""
+    if mesh is None:
+        return
+    platforms = {d.platform for d in mesh.devices.flat}
+    _check_mesh_complex_platforms(platforms, dtype)
 
 
 def complex_host_ctx(x, dtype=None):

@@ -190,11 +190,16 @@ class Pca:
         # Complex fits on an accelerator run host-side (the
         # reference's c32/c64 support is CPU LAPACK; complex XLA:TPU
         # programs are impractical — see _common.complex_host_ctx).
-        # An explicit mesh wins: mesh fits are never redirected.
+        # An explicit mesh wins: mesh fits are never redirected —
+        # but complex on an accelerator mesh is a defined, tested
+        # error (see _common.check_mesh_complex).
         if self._mesh is None:
             ctx, x = _common.complex_host_ctx(x)
             with ctx:
                 return self._inner_fit_impl(x)
+        _common.check_mesh_complex(self._mesh, x.dtype)
+        return self._inner_fit_impl(x)
+        _common.check_mesh_complex(self._mesh, x.dtype)
         return self._inner_fit_impl(x)
 
     def _inner_fit_impl(self, x):

@@ -147,6 +147,132 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
     }
 
 
+def _resolve_range_finder(range_finder: str, dtype, n: int, d: int,
+                          l: int) -> str:
+    """``"auto"`` picks the Gram finder on accelerators when the sketch
+    is much narrower than the data (l ≤ d/4) and the data is tall
+    (n ≥ 4d and ≥ 32k rows) — the regime where one compute-dense XᵀX
+    pass replaces the 2·n_power_iters streaming passes of the direct
+    finder.  CPU (reference parity) and complex dtypes stay direct."""
+    if range_finder != "auto":
+        if range_finder == "gram" and jnp.issubdtype(
+            jnp.dtype(dtype), jnp.complexfloating
+        ):
+            raise ValueError(
+                "range_finder='gram' supports real dtypes only"
+            )
+        return range_finder
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return "direct"
+    from ..ops.linalg import effective_platform
+
+    if effective_platform() == "cpu":
+        return "direct"
+    if l >= 1 and l <= d // 4 and n >= 4 * d and n >= 32768:
+        return "gram"
+    return "direct"
+
+
+# Mean-cancellation guard thresholds per Gram precision: the fused
+# uncentered Gram subtracts n·μμᵀ, losing ~(1 + r) of its input grade
+# where r = n‖μ‖²/tr(Gc); beyond these ratios the subspace operator is
+# recomputed from an explicitly centered copy (3 HBM passes, engaged
+# only when the data actually is mean-dominated).
+_GRAM_GUARD_RMAX = {"default": 2.0, "high": 1e3, "highest": 1e5}
+
+
+def _gram_of(xc, precision: str):
+    """``XᵀX`` at the requested matmul precision (f32/f64 input)."""
+    return jnp.dot(xc.conj().T, xc, precision=precision)
+
+
+def _gram_moments(x, centering: bool, n_valid: int | None,
+                  fuse_centering: bool, gram_precision: str, n: int):
+    """``(means, G_centered, total_variance)`` for the Gram range finder
+    (real f32/f64 data; padded rows must be zero).
+
+    Single-device f32 with a usable fused kernel: ONE HBM pass computes
+    all three (:mod:`..ops.pallas.moments_kernel`).  Otherwise: XLA
+    reductions (means, ‖·‖², Gram — up to three passes, GSPMD-sharded
+    under a mesh).  In both fused cases the centered Gram is formed as
+    ``XᵀX − n·μμᵀ``, which loses ~(1 + r) of the Gram's input grade at
+    r = n‖μ‖²/tr(Gc); past the per-precision threshold the subspace
+    operator is recomputed from an explicitly centered copy
+    (``lax.cond`` — extra passes only when the data is mean-dominated).
+    """
+    from ..ops.pallas.replication import current_mesh
+
+    d = x.shape[1]
+    rmax = _GRAM_GUARD_RMAX[gram_precision]
+
+    def _guarded(g_raw, means, tv):
+        g_sub = g_raw - n * jnp.outer(jnp.conj(means), means)
+        if not centering:
+            return g_sub
+        r = n * jnp.sum(jnp.abs(means) ** 2) / jnp.maximum(
+            jnp.trace(g_sub), jnp.asarray(1e-30, g_sub.dtype)
+        )
+
+        def explicit(_):
+            xc = _masked_center(x, centering, n_valid)[1]
+            return _gram_of(xc, gram_precision)
+
+        return jax.lax.cond(r > rmax, explicit, lambda _: g_sub, None)
+
+    use_kernel = False
+    if (
+        x.dtype == jnp.float32
+        and current_mesh() is None
+        and gram_precision in ("default", "high")
+    ):
+        from ..ops.pallas import moments_kernel as mk
+
+        tracing = isinstance(x, jax.core.Tracer)
+        ok = mk.probed() is True if tracing else mk.kernel_available()
+        use_kernel = ok and mk.supports(x.shape[0], d, x.dtype)
+    if use_kernel:
+        from ..ops.pallas import moments_kernel as mk
+
+        with jax.named_scope("fused_moments"):
+            g_raw, colsum, sq = mk.data_moments(
+                x, n_passes=3 if gram_precision == "high" else 1
+            )
+        if centering:
+            means = colsum / n
+            tv = sq - n * jnp.sum(means * means)
+        else:
+            means = jnp.zeros((d,), x.dtype)
+            tv = sq
+        return means, _guarded(g_raw, means, tv), tv
+
+    if fuse_centering:
+        if centering:
+            means = jnp.sum(x, axis=0) / n
+        else:
+            means = jnp.zeros((d,), x.dtype)
+        tv = centered_sqnorm(x, means, n)
+        with jax.named_scope("gram"):
+            g_raw = _gram_of(x, gram_precision)
+        return means, _guarded(g_raw, means, tv), tv
+    means, xc = _masked_center(x, centering, n_valid)
+    tv = jnp.sum(jnp.abs(xc) ** 2)
+    with jax.named_scope("gram"):
+        g_sub = _gram_of(xc, gram_precision)
+    return means, g_sub, tv
+
+
+def _gram_subspace(g_sub, omega, n_power_iters: int):
+    """``qr((G)^q · Ω)`` — power iterations on the d×d subspace operator
+    (tiny d×d×l matmuls; Householder QR between applications because one
+    G application squares the condition number, out of CholeskyQR2's
+    κ ≲ 1/√eps envelope)."""
+    w = omega
+    for it in range(n_power_iters):
+        with jax.named_scope(f"gram_power_{it}"):
+            w = jnp.linalg.qr(mdot(g_sub, w), mode="reduced")[0]
+    return w
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -159,6 +285,8 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
         "fuse_centering",
         "final_orth",
         "finder_precision",
+        "range_finder",
+        "gram_precision",
         "cfg",
     ),
 )
@@ -168,7 +296,9 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                        n_valid: int | None = None,
                        fuse_centering: bool = True,
                        final_orth: str = "auto",
-                       finder_precision: str = "full", cfg=None):
+                       finder_precision: str = "full",
+                       range_finder: str = "direct",
+                       gram_precision: str = "auto", cfg=None):
     """Halko randomized SVD as one sharded XLA computation.
 
     Mirrors the single-device pipeline (pca.rs:665-718) with the
@@ -195,6 +325,30 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     * ``"auto"``  — ``"f32"`` for float64 data on an accelerator
       backend, ``"full"`` otherwise (CPU LAPACK-grade f64 gemms are
       already fast; complex stays full).
+
+    ``range_finder`` (static): how the orthonormal range basis Q is
+    constructed:
+
+    * ``"direct"`` — the reference's streaming power iteration
+      (pca.rs:689-718): 2·n_power_iters + 1 full passes over the data.
+    * ``"gram"``   — one compute-dense pass builds ``G = XᵀX``; the
+      power iterations then run on the d×d operator (tiny d×d×l
+      matmuls, zero data passes) and one more pass forms
+      ``Y = X·qr(GᑫΩ)``.  Identical subspace — ``range(X(XᵀX)ᑫΩ)`` —
+      in ~3 data passes instead of 2q+2.  The recovery (``B = QᴴX``,
+      SVD of B) still projects against the EXACT data, so singular
+      values are quadratically insensitive to Gram-precision error.
+      On the flagship single-chip shape a fused Pallas kernel computes
+      G + column sums + ‖X‖²_F in the same single pass
+      (:mod:`..ops.pallas.moments_kernel`).
+    * ``"auto"``  — see :func:`_resolve_range_finder`.
+
+    ``gram_precision`` (static): matmul precision of the Gram pass
+    (``"default"`` = bf16 inputs / f32 accumulate, ``"high"``,
+    ``"highest"``).  ``"auto"`` = ``"default"`` for f32 data (subspace-
+    grade only; guarded — see ``_GRAM_GUARD_RMAX``) and ``"highest"``
+    for the float64 mixed finder (keeps the f32-grade basis the 1e-10
+    σ-accuracy argument needs).
     """
     n = x.shape[0] if n_valid is None else n_valid
     d = x.shape[1]
@@ -213,6 +367,10 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     # Mixed mode is float64-only: casting complex data to float32
     # would silently discard the imaginary half of the sketch.
     mixed = finder_precision == "f32" and x.dtype == jnp.float64
+    range_finder = _resolve_range_finder(range_finder, x.dtype, n, d, l)
+    if gram_precision == "auto":
+        gram_precision = "highest" if mixed else "default"
+    tv = None  # total variance; None → sqnorm() pass at the end
 
     def norm(m):
         if normalizer == "lu":
@@ -235,13 +393,29 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
             if n_valid is not None:
                 mask = (jnp.arange(x.shape[0]) < n_valid)[:, None]
                 xc32 = jnp.where(mask, xc32, 0)
-        with jax.named_scope("sketch"):
-            q = mdot(xc32, omega.astype(f32))  # (n, l) sharded
-        for it in range(n_power_iters):
-            with jax.named_scope(f"power_iter_{it}"):
-                q = mdot(xc32.conj().T, norm(q))  # (d, l) replicated
-                q = mdot(xc32, norm(q))  # (n, l) sharded
+        if range_finder == "gram":
+            with jax.named_scope("gram"):
+                g_sub = _gram_of(xc32, gram_precision)
+            w = _gram_subspace(g_sub, omega.astype(f32), n_power_iters)
+            with jax.named_scope("sketch"):
+                q = mdot(xc32, w)
+        else:
+            with jax.named_scope("sketch"):
+                q = mdot(xc32, omega.astype(f32))  # (n, l) sharded
+            for it in range(n_power_iters):
+                with jax.named_scope(f"power_iter_{it}"):
+                    q = mdot(xc32.conj().T, norm(q))  # (d, l) replicated
+                    q = mdot(xc32, norm(q))  # (n, l) sharded
         q = q.astype(x.dtype)
+    elif range_finder == "gram":
+        means, g_sub, tv = _gram_moments(
+            x, centering, n_valid, fuse_centering, gram_precision, n
+        )
+        w = _gram_subspace(g_sub, omega, n_power_iters)
+        with jax.named_scope("sketch"):
+            # Works for every centering/fusion combination: means are
+            # exact and zero when centering is off.
+            q = centered_matmul(x, w, means, n_valid)
     else:
         with jax.named_scope("sketch"):
             q = xm(omega)  # (n, l) sharded
@@ -258,8 +432,14 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         q = jnp.linalg.qr(q, mode="reduced")[0] if final_orth == "qr" else (
             cholesky_qr2(q)
         )
-    with jax.named_scope("project"):
-        b = xtm(q).conj().T  # (l, d) replicated: Qᴴ·Xc via one psum
+    if range_finder == "gram" and not mixed:
+        # Projection with the gram-branch means (identical values; the
+        # closure means may come from the fused kernel's column sums).
+        with jax.named_scope("project"):
+            b = centered_rmatmul(x, q, means).conj().T
+    else:
+        with jax.named_scope("project"):
+            b = xtm(q).conj().T  # (l, d) replicated: Qᴴ·Xc via one psum
     with jax.named_scope("svd_b"):
         u_b, sigma, vt, off = svd_jit_cert(b)
     with jax.named_scope("recover_u"):
@@ -270,7 +450,7 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         "sigma": sigma,
         "vt": vt,
         "means": means,
-        "total_variance": sqnorm(),
+        "total_variance": sqnorm() if tv is None else tv,
         # Certificate of the (k+10)×d projected SVD (the pipeline's only
         # iterative factorization); checked host-side by the caller.
         "off": off,

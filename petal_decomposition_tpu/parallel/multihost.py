@@ -24,17 +24,38 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Initialize the JAX distributed runtime (idempotent wrapper over
-    ``jax.distributed.initialize``; no-ops on single-process setups
-    where auto-detection finds no cluster)."""
+    ``jax.distributed.initialize``).
+
+    Error contract (round-2 review: a swallowed init failure makes a
+    misconfigured coordinator indistinguishable from a single-process
+    no-op):
+
+    * "already initialized" → no-op (idempotence);
+    * auto-detection mode (no arguments) finding no cluster → no-op
+      (single-process is a valid configuration);
+    * any failure with EXPLICIT arguments → re-raised: the caller asked
+      for a cluster and did not get one.
+    """
+    explicit = any(
+        a is not None
+        for a in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # Already initialized, or single-process with no cluster env.
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        if explicit:
+            raise
+        # Auto mode: backends already up / no cluster — single process.
+    except ValueError:
+        if explicit:
+            raise
+        # Auto-detection found no cluster environment: single process.
 
 
 def is_multihost() -> bool:

@@ -1,0 +1,150 @@
+"""Gram-accelerated range finder + fused moments kernel.
+
+The gram finder builds the SAME subspace — range(X(XᵀX)ᑫΩ) — as the
+reference's streaming power iteration (pca.rs:689-718) from a single
+Gram pass; recovery (B = QᴴX) projects against the exact data, so σ
+must agree with the direct path to working precision on CPU (where
+matmul-precision flags are no-ops and both paths are exact f32/f64).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from petal_decomposition_tpu import RandomizedPca, RandomizedPcaBuilder
+from petal_decomposition_tpu.ops.pallas import moments_kernel as mk
+from petal_decomposition_tpu.parallel import make_mesh
+from petal_decomposition_tpu.parallel.distributed import (
+    _resolve_range_finder,
+)
+
+RNG_SEED = 1_234_567_891_011_121_314  # ref: pca.rs:860
+
+
+def _data(n=3000, d=256, dtype=np.float32, offset=0.0):
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((n, d)) @ np.diag(np.linspace(1, 30, d))
+    return (x + offset).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_gram_matches_direct(dtype):
+    x = _data(dtype=dtype)
+    s_dir = np.asarray(
+        RandomizedPca.with_seed(8, RNG_SEED).fit(x).singular_values_
+    )
+    m = RandomizedPca(8, seed=RNG_SEED, range_finder="gram")
+    s_gram = np.asarray(m.fit(x).singular_values_)
+    tol = 1e-5 if dtype == np.float32 else 1e-12
+    assert np.max(np.abs(s_dir - s_gram) / s_dir) < tol
+
+
+def test_gram_transform_roundtrip():
+    x = _data()
+    m = RandomizedPca(6, seed=RNG_SEED, range_finder="gram").fit(x)
+    y = np.asarray(m.transform(x))
+    xr = np.asarray(m.inverse_transform(y))
+    # Rank-6 reconstruction of a full-rank matrix: compare projections.
+    y2 = np.asarray(m.transform(xr))
+    assert np.allclose(y, y2, rtol=1e-4, atol=1e-3)
+
+
+def test_gram_mean_dominated_guard():
+    """r = n‖μ‖²/tr(Gc) ≫ threshold engages the explicitly-centered
+    recompute; σ must stay at working precision."""
+    x = _data(offset=1000.0)
+    s_dir = np.asarray(
+        RandomizedPca.with_seed(8, RNG_SEED).fit(x).singular_values_
+    )
+    m = RandomizedPca(
+        8, seed=RNG_SEED, range_finder="gram", gram_precision="default"
+    )
+    s_gram = np.asarray(m.fit(x).singular_values_)
+    assert np.max(np.abs(s_dir - s_gram) / s_dir) < 1e-4
+
+
+def test_gram_no_centering():
+    x = _data()
+    s_dir = np.asarray(
+        RandomizedPcaBuilder(8).seed(RNG_SEED).centering(False).build()
+        .fit(x).singular_values_
+    )
+    m = (
+        RandomizedPcaBuilder(8).seed(RNG_SEED).centering(False)
+        .range_finder("gram").build()
+    )
+    s_gram = np.asarray(m.fit(x).singular_values_)
+    assert np.max(np.abs(s_dir - s_gram) / s_dir) < 1e-5
+
+
+def test_gram_sharded_matches_unsharded():
+    mesh = make_mesh(8)
+    x = _data(n=2003)  # uneven rows exercise pad+mask
+    m1 = RandomizedPca(8, seed=RNG_SEED, range_finder="gram").fit(x)
+    m2 = (
+        RandomizedPcaBuilder(8).seed(RNG_SEED).range_finder("gram")
+        .mesh(mesh).build().fit(x)
+    )
+    s1 = np.asarray(m1.singular_values_)
+    s2 = np.asarray(m2.singular_values_)
+    assert np.max(np.abs(s1 - s2) / s1) < 1e-5
+    c1, c2 = np.asarray(m1.components_), np.asarray(m2.components_)
+    assert np.max(np.abs(np.abs(np.sum(c1 * c2, axis=1)) - 1)) < 1e-4
+
+
+def test_gram_rejects_complex():
+    x = _data().astype(np.complex64)
+    m = RandomizedPca(4, seed=RNG_SEED, range_finder="gram")
+    with pytest.raises(ValueError, match="real dtypes"):
+        m.fit(x)
+
+
+def test_auto_resolution():
+    # CPU → always direct (reference parity).
+    assert _resolve_range_finder("auto", jnp.float32, 10**6, 1024, 42) in (
+        "direct", "gram"
+    )  # platform-dependent; on the CPU test backend it must be direct
+    from petal_decomposition_tpu.ops.linalg import effective_platform
+
+    if effective_platform() == "cpu":
+        assert (
+            _resolve_range_finder("auto", jnp.float32, 10**6, 1024, 42)
+            == "direct"
+        )
+    # Complex never picks gram.
+    assert (
+        _resolve_range_finder("auto", jnp.complex64, 10**6, 1024, 42)
+        == "direct"
+    )
+    # Forced gram on complex raises.
+    with pytest.raises(ValueError):
+        _resolve_range_finder("gram", jnp.complex64, 10**6, 1024, 42)
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def test_moments_kernel_interpret():
+    rng = np.random.default_rng(0)
+    n, d = 700, 256  # non-multiple of the 512-row block: tail path
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    assert mk.supports(n, d, np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        g, s, sq = mk.data_moments(jnp.asarray(x))
+    g_ref = x.T @ x
+    assert np.abs(np.asarray(s) - x.sum(axis=0)).max() < 1e-2
+    assert abs(float(sq) - (x * x).sum()) / (x * x).sum() < 1e-5
+    scale = np.abs(g_ref).max()
+    assert np.abs(np.asarray(g) - g_ref).max() / scale < 2e-2  # bf16 grade
+
+    with pltpu.force_tpu_interpret_mode():
+        g3, _, _ = mk.data_moments(jnp.asarray(x), n_passes=3)
+    assert np.abs(np.asarray(g3) - g_ref).max() / scale < 1e-4  # ~f32 grade
+
+
+def test_moments_kernel_supports_bounds():
+    assert not mk.supports(1000, 100, np.float32)  # d % 128 != 0
+    assert not mk.supports(1000, 256, np.float64)  # f32 only
+    assert not mk.supports(4, 256, np.float32)  # fewer rows than a block
+    assert mk.supports(513, 1024, np.float32)
