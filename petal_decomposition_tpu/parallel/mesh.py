@@ -49,8 +49,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_rows(x, mesh: Mesh):
     """Place ``x`` row-sharded on the mesh.  Requires the row count to be
-    divisible by the mesh size; use :func:`shard_rows_padded` otherwise."""
-    return jax.device_put(x, row_sharding(mesh, np.ndim(x)))
+    divisible by the mesh size; use :func:`shard_rows_padded` otherwise.
+
+    On a mesh spanning multiple processes (multi-host), ``x`` must be
+    the full global value on every process (host memory); each process
+    contributes the rows its local devices own."""
+    sharding = row_sharding(mesh, np.ndim(x))
+    if jax.process_count() > 1 and not sharding.is_fully_addressable:
+        # A device-committed local array cannot be resharded across
+        # processes; ship the host value and let each process slice out
+        # its addressable shards.
+        return jax.device_put(np.asarray(x), sharding)
+    return jax.device_put(x, sharding)
 
 
 def shard_rows_padded(x, mesh: Mesh):
@@ -59,12 +69,18 @@ def shard_rows_padded(x, mesh: Mesh):
     kernels mask the padded rows out of every reduction."""
     import jax.numpy as jnp
 
-    x = jnp.asarray(x)
-    n = x.shape[0]
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    multiprocess = jax.process_count() > 1
+    xp = np if multiprocess else jnp  # keep host data host-side (see
+    # shard_rows): a jnp.concatenate would commit to one local device
+    if multiprocess:
+        x = np.asarray(x)
+    else:
+        x = jnp.asarray(x)
+    n = x.shape[0]
     pad = (-n) % n_dev
     if pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        x = xp.concatenate(
+            [x, xp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
         )
     return shard_rows(x, mesh), n
