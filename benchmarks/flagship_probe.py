@@ -1,0 +1,156 @@
+"""Flagship-fit operating points: direct vs gram finder, precisions.
+
+Measures ``randomized_pca_fit`` end-to-end on the real chip at the
+flagship 1M×1024 f32 k=32 shape for the round-3 decisions:
+
+* direct finder at ``matmul_precision`` highest (round-2 recorded path)
+  and high (VERDICT #3);
+* gram finder: fused-kernel bf16, fused-kernel 3-pass ("high"), and
+  the XLA-fallback gram;
+* σ agreement of every variant against the direct/highest reference.
+
+Run stages separately (each config pays a ~30-60 s remote compile):
+``python benchmarks/flagship_probe.py direct gram ...``.
+Appends results to benchmarks/FLAGSHIP_PROBE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import petal_decomposition_tpu  # noqa: F401
+from petal_decomposition_tpu.config import config
+from petal_decomposition_tpu.ops.jacobi import warm_kernel_probes
+from petal_decomposition_tpu.parallel.distributed import randomized_pca_fit
+from petal_decomposition_tpu.utils.rng import key_from_seed
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N, D, K = 1_000_000, 1024, 32
+SEED = 1_234_567_891_011_121_314
+PATH = os.path.join(os.path.dirname(__file__), "FLAGSHIP_PROBE.json")
+
+
+def fit_config(x, key, **kw):
+    def run():
+        st = randomized_pca_fit(
+            x, key, n_components=K, centering=True, n_oversamples=10,
+            cfg=config.cache_key(), **kw,
+        )
+        np.asarray(st["sigma"])  # flush
+        return st
+
+    st = run()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), np.asarray(st["sigma"])
+
+
+def main() -> None:
+    stages = sys.argv[1:] or ["direct", "gram"]
+    out = {}
+    if os.path.exists(PATH):
+        out = json.load(open(PATH))
+    warm_kernel_probes(jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (N, D), jnp.float32)
+    key = key_from_seed(SEED)
+    sref = np.asarray(out.get("sigma_ref", []))
+
+    def record(name, dt, sigma):
+        nonlocal sref
+        if sref.size == 0:
+            sref = sigma
+            out["sigma_ref"] = sigma.tolist()
+        out[name] = {
+            "ms": round(dt * 1e3, 1),
+            "sigma_max_rel_diff_vs_ref": float(
+                np.max(np.abs(sigma - sref) / sref)
+            ),
+        }
+        print(name, out[name], flush=True)
+
+    for stage in stages:
+        if stage == "direct":
+            dt, s = fit_config(
+                x, key, n_power_iters=2, normalizer="cholqr2",
+                range_finder="direct",
+            )
+            record("direct_highest_q2", dt, s)
+        elif stage == "direct_high":
+            config.matmul_precision = "high"
+            try:
+                dt, s = fit_config(
+                    x, key, n_power_iters=2, normalizer="cholqr2",
+                    range_finder="direct",
+                )
+            finally:
+                config.matmul_precision = "highest"
+            record("direct_high_q2", dt, s)
+        elif stage == "gram":
+            dt, s = fit_config(
+                x, key, n_power_iters=2, normalizer="cholqr2",
+                range_finder="gram", gram_precision="default",
+            )
+            record("gram_kernel_bf16_q2", dt, s)
+        elif stage == "gram_high":
+            dt, s = fit_config(
+                x, key, n_power_iters=2, normalizer="cholqr2",
+                range_finder="gram", gram_precision="high",
+            )
+            record("gram_kernel_3pass_q2", dt, s)
+        elif stage == "gram_q7":
+            # Power iterations on the d×d operator are nearly free: the
+            # reference's q=7 default costs ~the same as q=2.
+            dt, s = fit_config(
+                x, key, n_power_iters=7, normalizer="cholqr2",
+                range_finder="gram", gram_precision="default",
+            )
+            record("gram_bf16_q7", dt, s)
+        elif stage == "api_default":
+            # The DEFAULT public constructor path (VERDICT r2 weak #3):
+            # RandomizedPca(32).fit on TPU must be the benchmarked path.
+            from petal_decomposition_tpu import RandomizedPca
+
+            m = RandomizedPca(K, seed=SEED)
+            m.fit(x)  # compile + warm
+
+            def run_api():
+                # fit() alone: its certificate fetch already syncs the
+                # device queue (one round trip — the same count as the
+                # pipeline probe's sigma read).
+                m2 = RandomizedPca(K, seed=SEED)
+                m2.fit(x)
+                return m2
+
+            sig = None
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                m3 = run_api()
+                ts.append(time.perf_counter() - t0)
+                sig = np.asarray(m3.singular_values_)
+            entry = {"ms": round(float(np.median(ts)) * 1e3, 1)}
+            if "sigma_ref" in out:
+                top = np.asarray(out["sigma_ref"])[:K]
+                entry["sigma_top_k_max_rel_diff"] = float(
+                    np.max(np.abs(sig - top) / top)
+                )
+            out["api_default_fit"] = entry
+            print("api_default_fit", entry, flush=True)
+        else:
+            raise SystemExit(f"unknown stage {stage}")
+
+    with open(PATH, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

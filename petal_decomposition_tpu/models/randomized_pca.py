@@ -301,23 +301,33 @@ class RandomizedPca:
             self._singular_full = sigma
             return u
 
-        # Single-device fit as ONE jitted XLA computation (explicit
+        # Single-device fit as ONE jitted XLA computation.  On CPU (and
+        # for small problems everywhere) the pipeline keeps explicit
         # centering and Householder final QR for reference-parity
-        # rounding; the Halko flow is identical to pca.rs:665-718).
+        # rounding (the Halko flow is identical to pca.rs:665-718).
         from ..ops.jacobi import warm_kernel_probes
         from ..parallel.distributed import randomized_pca_fit
 
-        # Householder QR at f64 on an accelerator is emulation-bound
-        # (measured 879 ms on a 100k×42 panel vs ~40 ms CholeskyQR2);
-        # the reference-parity QR rounding is kept on CPU — including
-        # complex fits redirected to the host — and for f32.
         from ..ops.linalg import effective_platform
 
-        final_orth = "qr"
-        if effective_platform() != "cpu" and jnp.dtype(x.dtype) in (
-            jnp.float64,
-            jnp.complex128,
-        ):
+        # Large fits on an accelerator take the fast rounding-
+        # equivalent route: fused rank-1 centering (no materialized
+        # X−μ copy, one less full HBM pass) and matmul-only CholeskyQR2
+        # final orthonormalization (Householder QR on a 1M×42 panel is
+        # sequential-panel-bound on TPU: the default-constructor fit
+        # measured 150 ms with QR+explicit centering vs 66 ms with
+        # this route, round-3 FLAGSHIP_PROBE).  Small fits keep the
+        # reference-parity rounding — they are dispatch-latency-bound
+        # anyway and the golden-value tests pin their exact outputs.
+        accel_fast = (
+            effective_platform() != "cpu" and n * d >= (1 << 22)
+        )
+        final_orth = "cholqr2" if accel_fast else "qr"
+        if not accel_fast and effective_platform() != "cpu" and jnp.dtype(
+            x.dtype
+        ) in (jnp.float64, jnp.complex128):
+            # f64 Householder QR is emulation-bound at any size
+            # (measured 879 ms on a 100k×42 panel vs ~40 ms CholeskyQR2).
             final_orth = "cholqr2"
         warm_kernel_probes(x.dtype)
         st = randomized_pca_fit(
@@ -327,7 +337,7 @@ class RandomizedPca:
             n_oversamples=self._n_oversamples,
             n_power_iters=self._n_power_iters,
             normalizer=self._resolve_normalizer(x),
-            fuse_centering=False,
+            fuse_centering=accel_fast,
             final_orth=final_orth,
             finder_precision=self._finder_precision,
             range_finder=self._range_finder,

@@ -239,10 +239,9 @@ def warm_kernel_probes(dtype) -> None:
         return
     dtype = jnp.dtype(dtype)
     if dtype == jnp.float32:
-        from .pallas import jacobi_kernels, moments_kernel
+        from .pallas import jacobi_kernels
 
         jacobi_kernels.kernel_available()
-        moments_kernel.kernel_available()
     elif dtype == jnp.float64:
         from .pallas import jacobi_f64_kernel
 

@@ -191,21 +191,24 @@ def _gram_moments(x, centering: bool, n_valid: int | None,
     """``(means, G_centered, total_variance)`` for the Gram range finder
     (real f32/f64 data; padded rows must be zero).
 
-    Single-device f32 with a usable fused kernel: ONE HBM pass computes
-    all three (:mod:`..ops.pallas.moments_kernel`).  Otherwise: XLA
-    reductions (means, ‖·‖², Gram — up to three passes, GSPMD-sharded
-    under a mesh).  In both fused cases the centered Gram is formed as
+    The three reductions (Gram at ``gram_precision``, column sums,
+    ‖X‖²_F) are written as siblings over one buffer: XLA multi-output-
+    fuses the two VPU reductions into one extra pass over the Gram's
+    read (measured on v5e: gram-only 8.7 ms vs all-three 14.3 ms at
+    1M×1024 f32 — a hand-written Pallas single-pass kernel measured
+    21.5 ms, LOSING to XLA's emitters at every block size, and was
+    removed; benchmarks/ROOFLINE.json + DESIGN.md §7 record the data).
+    GSPMD shards all three under a mesh.
+
+    With fused centering the centered Gram is formed as
     ``XᵀX − n·μμᵀ``, which loses ~(1 + r) of the Gram's input grade at
     r = n‖μ‖²/tr(Gc); past the per-precision threshold the subspace
     operator is recomputed from an explicitly centered copy
     (``lax.cond`` — extra passes only when the data is mean-dominated).
     """
-    from ..ops.pallas.replication import current_mesh
-
-    d = x.shape[1]
     rmax = _GRAM_GUARD_RMAX[gram_precision]
 
-    def _guarded(g_raw, means, tv):
+    def _guarded(g_raw, means):
         g_sub = g_raw - n * jnp.outer(jnp.conj(means), means)
         if not centering:
             return g_sub
@@ -219,33 +222,8 @@ def _gram_moments(x, centering: bool, n_valid: int | None,
 
         return jax.lax.cond(r > rmax, explicit, lambda _: g_sub, None)
 
-    use_kernel = False
-    if (
-        x.dtype == jnp.float32
-        and current_mesh() is None
-        and gram_precision in ("default", "high")
-    ):
-        from ..ops.pallas import moments_kernel as mk
-
-        tracing = isinstance(x, jax.core.Tracer)
-        ok = mk.probed() is True if tracing else mk.kernel_available()
-        use_kernel = ok and mk.supports(x.shape[0], d, x.dtype)
-    if use_kernel:
-        from ..ops.pallas import moments_kernel as mk
-
-        with jax.named_scope("fused_moments"):
-            g_raw, colsum, sq = mk.data_moments(
-                x, n_passes=3 if gram_precision == "high" else 1
-            )
-        if centering:
-            means = colsum / n
-            tv = sq - n * jnp.sum(means * means)
-        else:
-            means = jnp.zeros((d,), x.dtype)
-            tv = sq
-        return means, _guarded(g_raw, means, tv), tv
-
     if fuse_centering:
+        d = x.shape[1]
         if centering:
             means = jnp.sum(x, axis=0) / n
         else:
@@ -253,7 +231,7 @@ def _gram_moments(x, centering: bool, n_valid: int | None,
         tv = centered_sqnorm(x, means, n)
         with jax.named_scope("gram"):
             g_raw = _gram_of(x, gram_precision)
-        return means, _guarded(g_raw, means, tv), tv
+        return means, _guarded(g_raw, means), tv
     means, xc = _masked_center(x, centering, n_valid)
     tv = jnp.sum(jnp.abs(xc) ** 2)
     with jax.named_scope("gram"):
@@ -338,9 +316,8 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
       in ~3 data passes instead of 2q+2.  The recovery (``B = QᴴX``,
       SVD of B) still projects against the EXACT data, so singular
       values are quadratically insensitive to Gram-precision error.
-      On the flagship single-chip shape a fused Pallas kernel computes
-      G + column sums + ‖X‖²_F in the same single pass
-      (:mod:`..ops.pallas.moments_kernel`).
+      The column sums and ‖X‖²_F ride the Gram pass as XLA-sibling-
+      fused reductions (see :func:`_gram_moments`).
     * ``"auto"``  — see :func:`_resolve_range_finder`.
 
     ``gram_precision`` (static): matmul precision of the Gram pass

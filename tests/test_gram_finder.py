@@ -10,10 +10,8 @@ matmul-precision flags are no-ops and both paths are exact f32/f64).
 import numpy as np
 import pytest
 import jax.numpy as jnp
-from jax.experimental.pallas import tpu as pltpu
 
 from petal_decomposition_tpu import RandomizedPca, RandomizedPcaBuilder
-from petal_decomposition_tpu.ops.pallas import moments_kernel as mk
 from petal_decomposition_tpu.parallel import make_mesh
 from petal_decomposition_tpu.parallel.distributed import (
     _resolve_range_finder,
@@ -120,31 +118,3 @@ def test_auto_resolution():
     # Forced gram on complex raises.
     with pytest.raises(ValueError):
         _resolve_range_finder("gram", jnp.complex64, 10**6, 1024, 42)
-
-
-# ---------------------------------------------------------------- kernel
-
-
-def test_moments_kernel_interpret():
-    rng = np.random.default_rng(0)
-    n, d = 700, 256  # non-multiple of the 512-row block: tail path
-    x = rng.standard_normal((n, d)).astype(np.float32)
-    assert mk.supports(n, d, np.float32)
-    with pltpu.force_tpu_interpret_mode():
-        g, s, sq = mk.data_moments(jnp.asarray(x))
-    g_ref = x.T @ x
-    assert np.abs(np.asarray(s) - x.sum(axis=0)).max() < 1e-2
-    assert abs(float(sq) - (x * x).sum()) / (x * x).sum() < 1e-5
-    scale = np.abs(g_ref).max()
-    assert np.abs(np.asarray(g) - g_ref).max() / scale < 2e-2  # bf16 grade
-
-    with pltpu.force_tpu_interpret_mode():
-        g3, _, _ = mk.data_moments(jnp.asarray(x), n_passes=3)
-    assert np.abs(np.asarray(g3) - g_ref).max() / scale < 1e-4  # ~f32 grade
-
-
-def test_moments_kernel_supports_bounds():
-    assert not mk.supports(1000, 100, np.float32)  # d % 128 != 0
-    assert not mk.supports(1000, 256, np.float64)  # f32 only
-    assert not mk.supports(4, 256, np.float32)  # fewer rows than a block
-    assert mk.supports(513, 1024, np.float32)
