@@ -159,14 +159,14 @@ def _flagship(dispatch_s: float) -> dict:
     key = key_from_seed(1_234_567_891_011_121_314)
 
     def pipeline():
-        st = randomized_pca_fit(
+        # No internal sync: _timed's flush is the single round trip
+        # (an extra np.asarray here measured +26 ms of pure tunnel).
+        return randomized_pca_fit(
             x, key, n_components=K, centering=True,
             n_oversamples=OVERSAMPLES, n_power_iters=POWER_ITERS,
             normalizer="cholqr2", range_finder="auto",
             cfg=config.cache_key(),
-        )
-        np.asarray(st["sigma"])
-        return st
+        )["sigma"]
 
     fit_s = _timed(pipeline)
 
@@ -232,16 +232,14 @@ def _mxu_showcase(dispatch_s: float) -> dict:
     key = key_from_seed(1_234_567_891_011_121_314)
 
     def run():
-        st = randomized_pca_fit(
+        return randomized_pca_fit(
             x, key, n_components=k, centering=True,
             n_oversamples=OVERSAMPLES, n_power_iters=2,
             normalizer="cholqr2", range_finder="gram",
             cfg=config.cache_key(),
-        )
-        np.asarray(st["sigma"])
-        return st
+        )["sigma"]
 
-    dt = _timed(run, reps=2)
+    dt = _timed(run, reps=3)
     flops = 2 * n * d * d  # the Gram alone; recovery adds ~2%
     out = {
         "ms": round(dt * 1e3, 1),
@@ -308,10 +306,14 @@ def _ica_rates() -> dict:
         10 / (time.perf_counter() - t0), 1
     )
 
-    # End-to-end mixed fit at the reference tolerance (ica.rs:216) on
-    # a CONVERGENT problem: independent unit-variance Laplace sources
-    # (already-independent components converge in tens of iterations;
-    # Gaussian noise never converges and only measures the cap).
+    # End-to-end mixed fit at the reference tolerance and cap
+    # (tol=1e-4, max_iter=200, ica.rs:216).  The reference's
+    # convergence functional pairs rows of the NEW W with columns of
+    # the OLD W (ica.rs:344-354 — deliberately ported, golden-tested at
+    # its 6-iteration fixture): on generic data it rarely reaches 1e-4,
+    # so the representative end-to-end cost is the full 200-iteration
+    # budget — identical behavior to the reference, surfaced via
+    # ``n_iter == max_iter``.
     rng = np.random.default_rng(5)
     src64 = jnp.asarray(
         rng.laplace(size=(ICA_K, ICA_N)) / np.sqrt(2.0), jnp.float64
@@ -331,10 +333,13 @@ def _ica_rates() -> dict:
         t0 = time.perf_counter()
         n_iter = run_mixed()
         ts.append(time.perf_counter() - t0)
-    out["f64_mixed_fit_tol1e4"] = {
+    out["f64_mixed_fit_tol1e4_cap200"] = {
         "seconds": round(float(np.min(ts)), 3),
         "n_iter": n_iter,
         "converged": n_iter < 200,
+        "full_f64_equivalent_seconds": round(
+            n_iter / max(out["f64_polish_iters_per_sec"], 1e-9), 1
+        ),
     }
     return out
 
