@@ -53,12 +53,6 @@ class Config:
     # anyway); "default" leaves placement alone.  Mesh fits are never
     # redirected (an explicit device mesh wins).
     complex_device: str = "auto"
-    # Fused Pallas contrast-update kernel for single-device FastICA.
-    # Off by default: measured on v5e, XLA's own fusion matches or beats
-    # it at k ≤ 256 (9.7 vs 12.1 ms/iter at k=256, n=500k) — the kernel
-    # remains available for stacks/shapes where materializing G (k×n)
-    # in HBM is the binding constraint.
-    use_pallas_ica: bool = False
 
     def validate(self) -> None:
         if self.linalg_backend not in ("auto", "jacobi", "xla", "native"):
@@ -70,9 +64,8 @@ class Config:
         """Hashable snapshot of the fields that alter traced programs.
         Jitted fit pipelines take this as a static argument so config
         changes retrace instead of silently reusing stale dispatch.
-        (``use_pallas_ica`` is resolved eagerly into an explicit static
-        argument; ``check_convergence`` and ``host_offload_max_elements``
-        act outside traces — neither belongs here.)"""
+        (``check_convergence`` and ``host_offload_max_elements`` act
+        outside traces — neither belongs here.)"""
         return (
             self.linalg_backend,
             self.matmul_precision,

@@ -147,11 +147,9 @@ _F32_LIM_FLOOR = 1e-5
 
 
 @partial(jax.jit, static_argnames=("max_iter", "fun", "n_valid",
-                                   "use_pallas", "decorrelation",
-                                   "precision", "cfg"))
+                                   "decorrelation", "precision", "cfg"))
 def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
                   n_valid: int | None = None,
-                  use_pallas: bool | None = None,
                   decorrelation: str = "eigh",
                   precision: str = "full", cfg=None):
     """The FastICA fixed-point iteration (ref: ica.rs:319-361).
@@ -159,11 +157,6 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     ``n_valid`` (static): number of real sample columns when ``x`` is
     zero-padded for even sharding; reductions are corrected so padded
     columns contribute nothing.
-
-    ``use_pallas`` (static): fuse the contrast update (W·X → g → G·Xᵀ)
-    into a single-HBM-pass Pallas kernel.  ``None`` auto-enables on TPU
-    for supported shapes; forced off by the sharded path (the kernel is
-    single-device).
 
     ``precision`` (static): precision of the fixed-point iteration.
     ``"full"`` iterates at the data dtype (reference-faithful).
@@ -176,17 +169,10 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     satisfies the same f64 convergence criterion a full-precision run
     does.  Total iterations never exceed ``max_iter``.
     """
-    from ..ops.pallas import ica_kernels
-
     n_pad = x.shape[1]
     n = n_pad if n_valid is None else n_valid
     pad = n_pad - n
     g0 = _GPRIME_AT_ZERO[fun]
-    if use_pallas is None:
-        # Resolution must happen in an eager context (the probe compiles
-        # and runs a tiny kernel); callers under jit pass an explicit
-        # bool.  Conservative default when unresolved.
-        use_pallas = False
     decorr = (
         symmetric_decorrelation_ns
         if decorrelation == "ns"
@@ -197,14 +183,15 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     w0 = symmetric_decorrelation(w_init)
     p_inv = 1.0 / n  # ref: ica.rs:330
 
-    def make_body(xs, use_pallas):
+    def make_body(xs):
         def body(state):
             w, _, it = state
-            if use_pallas:
-                gx, gsum = ica_kernels.ica_contrast_update(w, xs, fun=fun)
-            else:
-                gwtx, gsum = _contrast_sums(fun, mdot(w, xs))  # ica.rs:332
-                gx = mdot(gwtx, xs.T)
+            # XLA fuses the elementwise contrast into the two k×n gemms;
+            # a hand-fused Pallas variant measured strictly slower at
+            # every supported shape, incl. k=512 n=1M where the step is
+            # MXU-bound (post-mortem: docs/DESIGN.md §7).
+            gwtx, gsum = _contrast_sums(fun, mdot(w, xs))  # ica.rs:332
+            gx = mdot(gwtx, xs.T)
             g_wtx = (gsum - pad * g0) * p_inv
             # W1 = symdecorr(G·Xᵀ/p − diag(g′)·W)   (ref: ica.rs:333-343)
             update = gx * p_inv - g_wtx[:, None] * w
@@ -217,8 +204,8 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
 
         return body
 
-    def run(xs, tol_s, w_start, budget, use_pallas=use_pallas):
-        body = make_body(xs, use_pallas)
+    def run(xs, tol_s, w_start, budget):
+        body = make_body(xs)
 
         def cond(state):
             _, lim, it = state
@@ -234,16 +221,13 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
 
     budget = jnp.asarray(max_iter, jnp.int32)
     if precision == "f32" and x.dtype == jnp.float64:
-        # The caller resolved ``use_pallas`` against the f32 stage's
-        # dtype (the fused contrast kernel is f32-only); the f64 polish
-        # stage always takes the XLA path.
         f32 = jnp.float32
         tol32 = jnp.maximum(tol, _F32_LIM_FLOOR).astype(f32)
         w32, lim32, n1 = run(x.astype(f32), tol32, w0.astype(f32), budget)
         # Re-orthonormalize at full precision before polishing: the f32
         # W carries ~eps_f32 departures from row-orthonormality.
         w_b = symmetric_decorrelation(w32.astype(x.dtype))
-        w, lim, n2 = run(x, tol, w_b, budget - n1, use_pallas=False)
+        w, lim, n2 = run(x, tol, w_b, budget - n1)
         # Budget exhausted in stage 1 → stage 2 never ran; report the
         # f32 stage's convergence measure (a non-converged fit, as the
         # reference reports via n_iter == max_iter, ica.rs:360).
@@ -251,21 +235,6 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
         return w, lim, n1 + n2
 
     return run(x, tol, w0, budget)
-
-
-def resolve_use_pallas(k: int, dtype) -> bool:
-    """Eager-context decision: fuse the contrast update with the Pallas
-    kernel?  Requires opt-in (``config.use_pallas_ica``), a TPU-like
-    backend, a supported shape, and a passing one-time compile probe."""
-    from ..config import config
-    from ..ops.pallas import ica_kernels
-
-    return (
-        config.use_pallas_ica
-        and jax.default_backend() not in ("cpu",)
-        and ica_kernels.supports(k, dtype)
-        and ica_kernels.kernel_available()
-    )
 
 
 def resolve_iteration_precision(setting: str, dtype) -> str:
@@ -294,17 +263,9 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
     never reached, matching the reference's return at ica.rs:360.
     """
     x = jnp.asarray(x)
-    # Under mixed precision the data matmuls run on an f32 copy, so the
-    # fused-contrast kernel decision is made for the f32 stage's dtype.
-    pallas_dtype = (
-        jnp.float32
-        if precision == "f32" and x.dtype == jnp.float64
-        else x.dtype
-    )
     w, _, n_iter = _ica_par_core(
         x, jnp.asarray(tol, _common.real_dtype(x.dtype)), int(max_iter),
         jnp.asarray(w_init), fun,
-        use_pallas=resolve_use_pallas(x.shape[0], pallas_dtype),
         decorrelation=decorrelation, precision=precision,
         cfg=_config.cache_key(),
     )

@@ -480,7 +480,7 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     with jax.named_scope("ica_par"):
         w, lim, n_iter = _ica_par_core(
             x1, jnp.asarray(tol, _real_dtype_of(x.dtype)), max_iter, w_init, fun,
-            n_valid=n_valid, use_pallas=False,  # kernel is single-device
+            n_valid=n_valid,
             decorrelation=decorrelation, precision=precision, cfg=cfg,
         )
     components = mdot(w, kmat)  # (k, d) replicated
