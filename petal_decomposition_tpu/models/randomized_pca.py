@@ -330,6 +330,13 @@ class RandomizedPca:
             # (measured 879 ms on a 100k×42 panel vs ~40 ms CholeskyQR2).
             final_orth = "cholqr2"
         warm_kernel_probes(x.dtype)
+        # Fused sketch+moments kernel (Gram-finder path): probe must
+        # run eagerly, before the jitted fit traces.
+        fused_ok = False
+        if accel_fast and jnp.dtype(x.dtype) == jnp.float32:
+            from ..ops.pallas import sketch_kernel as _sketch_kernel
+
+            fused_ok = _sketch_kernel.kernel_available()
         st = randomized_pca_fit(
             x, subkey,
             n_components=k,
@@ -342,6 +349,7 @@ class RandomizedPca:
             finder_precision=self._finder_precision,
             range_finder=self._range_finder,
             gram_precision=self._gram_precision,
+            fused_sketch=fused_ok,
             cfg=_config.cache_key(),
         )
         u, sigma, vt = st["u"], st["sigma"], st["vt"]

@@ -239,6 +239,57 @@ def _gram_moments(x, centering: bool, n_valid: int | None,
     return means, g_sub, tv
 
 
+def _fused_gram_flow(x, omega, centering: bool, n_power_iters: int,
+                     gram_precision: str, n: int):
+    """Gram range finder with the fused sketch+moments Pallas kernel
+    (single device, real f32): ``(means, total_variance, Y)``.
+
+    The subspace iteration runs on the RAW Gram ``XᵀX`` — so the means
+    are not needed before the sketch and can ride the sketch pass
+    inside the kernel.  Raw-Gram subspace is exactly as good as the
+    centered one here: ``XᵀX = XcᵀXc + n·μμᵀ`` is a rank-1 perturbation
+    whose extra eigendirection costs at most one basis column, and the
+    appended ones column restores exact coverage of the centering
+    correction — ``span{X·W, 1} ⊇ span{(X − 1μᵀ)·W}`` for any μ.  The
+    recovery still projects against the exact data, so σ error stays
+    quadratic in basis error.  Past the bf16 mean-domination threshold
+    (`_GRAM_GUARD_RMAX`) an in-graph ``lax.cond`` redoes the operator,
+    subspace, and sketch from an explicitly centered copy.
+    """
+    from ..ops.pallas.sketch_kernel import fused_sketch_moments
+
+    with jax.named_scope("gram"):
+        g_raw = _gram_of(x, gram_precision)
+    w = _gram_subspace(g_raw, omega, n_power_iters)
+    with jax.named_scope("sketch_moments"):
+        y_raw, colsum, sq = fused_sketch_moments(x, w)
+    if not centering:
+        means = jnp.zeros((x.shape[1],), x.dtype)
+        return means, sq, y_raw
+    means = colsum / n
+    msq = n * jnp.sum(means * means)
+    tv = sq - msq  # ‖X − 1μᵀ‖²_F = ‖X‖²_F − n‖μ‖²
+    ones_col = jnp.ones((x.shape[0], 1), x.dtype)
+
+    def fast(_):
+        corr = mdot(means[None, :], w)[0]
+        return jnp.concatenate(
+            [y_raw - jnp.outer(ones_col[:, 0], corr), ones_col], axis=1
+        )
+
+    def explicit(_):
+        xc = x - means
+        g_e = _gram_of(xc, gram_precision)
+        w_e = _gram_subspace(g_e, omega, n_power_iters)
+        return jnp.concatenate([mdot(xc, w_e), ones_col], axis=1)
+
+    r = msq / jnp.maximum(tv, jnp.asarray(1e-30, tv.dtype))
+    q = jax.lax.cond(
+        r > _GRAM_GUARD_RMAX[gram_precision], explicit, fast, None
+    )
+    return means, tv, q
+
+
 def _gram_subspace(g_sub, omega, n_power_iters: int):
     """``qr((G)^q · Ω)`` — power iterations on the d×d subspace operator
     (tiny d×d×l matmuls; Householder QR between applications because one
@@ -265,6 +316,7 @@ def _gram_subspace(g_sub, omega, n_power_iters: int):
         "finder_precision",
         "range_finder",
         "gram_precision",
+        "fused_sketch",
         "cfg",
     ),
 )
@@ -276,7 +328,8 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                        final_orth: str = "auto",
                        finder_precision: str = "full",
                        range_finder: str = "direct",
-                       gram_precision: str = "auto", cfg=None):
+                       gram_precision: str = "auto",
+                       fused_sketch: bool = False, cfg=None):
     """Halko randomized SVD as one sharded XLA computation.
 
     Mirrors the single-device pipeline (pca.rs:665-718) with the
@@ -319,6 +372,12 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
       The column sums and ‖X‖²_F ride the Gram pass as XLA-sibling-
       fused reductions (see :func:`_gram_moments`).
     * ``"auto"``  — see :func:`_resolve_range_finder`.
+
+    ``fused_sketch`` (static): allow the fused sketch+moments Pallas
+    kernel on the Gram-finder path (single-device real f32 at
+    ``gram_precision="default"`` only — see :func:`_fused_gram_flow`).
+    Callers must have verified ``sketch_kernel.kernel_available()``
+    eagerly; the flag is refined in-trace by ``sketch_kernel.supports``.
 
     ``gram_precision`` (static): matmul precision of the Gram pass
     (``"default"`` = bf16 inputs / f32 accumulate, ``"high"``,
@@ -385,14 +444,29 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                     q = mdot(xc32, norm(q))  # (n, l) sharded
         q = q.astype(x.dtype)
     elif range_finder == "gram":
-        means, g_sub, tv = _gram_moments(
-            x, centering, n_valid, fuse_centering, gram_precision, n
+        from ..ops.pallas import sketch_kernel
+
+        use_fused = (
+            fused_sketch
+            and n_valid is None  # single device: no padded rows
+            and fuse_centering
+            and gram_precision == "default"
+            and x.dtype == jnp.float32
+            and sketch_kernel.supports(n, d, l, x.dtype)
         )
-        w = _gram_subspace(g_sub, omega, n_power_iters)
-        with jax.named_scope("sketch"):
-            # Works for every centering/fusion combination: means are
-            # exact and zero when centering is off.
-            q = centered_matmul(x, w, means, n_valid)
+        if use_fused:
+            means, tv, q = _fused_gram_flow(
+                x, omega, centering, n_power_iters, gram_precision, n
+            )
+        else:
+            means, g_sub, tv = _gram_moments(
+                x, centering, n_valid, fuse_centering, gram_precision, n
+            )
+            w = _gram_subspace(g_sub, omega, n_power_iters)
+            with jax.named_scope("sketch"):
+                # Works for every centering/fusion combination: means
+                # are exact and zero when centering is off.
+                q = centered_matmul(x, w, means, n_valid)
     else:
         with jax.named_scope("sketch"):
             q = xm(omega)  # (n, l) sharded
