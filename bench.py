@@ -147,12 +147,17 @@ def _flagship(dispatch_s: float) -> dict:
     from petal_decomposition_tpu import RandomizedPca
     from petal_decomposition_tpu.config import config
     from petal_decomposition_tpu.ops.jacobi import warm_kernel_probes
+    from petal_decomposition_tpu.ops.pallas import sketch_kernel
     from petal_decomposition_tpu.parallel.distributed import (
         randomized_pca_fit,
     )
     from petal_decomposition_tpu.utils.rng import key_from_seed
 
     warm_kernel_probes(jnp.float32)
+    # Same eager probe the API fit runs: the pipeline probe must
+    # dispatch the fused sketch+moments kernel exactly like
+    # ``RandomizedPca(32).fit`` does.
+    fused_ok = sketch_kernel.kernel_available()
     x = jax.random.normal(
         jax.random.key(0), (N_ROWS, N_COLS), jnp.float32
     )
@@ -165,6 +170,7 @@ def _flagship(dispatch_s: float) -> dict:
             x, key, n_components=K, centering=True,
             n_oversamples=OVERSAMPLES, n_power_iters=POWER_ITERS,
             normalizer="cholqr2", range_finder="auto",
+            fused_sketch=fused_ok,
             cfg=config.cache_key(),
         )["sigma"]
 
@@ -192,8 +198,11 @@ def _flagship(dispatch_s: float) -> dict:
 
     # HBM accounting for the gram-finder fit (auto on TPU): bf16
     # convert (read f32 + write bf16), gram read (bf16), fused
-    # means+‖X‖² pass, Y pass, B pass → ~20.5 GB moved.
-    bytes_moved = N_ROWS * N_COLS * (4 + 2 + 2 + 4 + 4 + 4)
+    # sketch+moments kernel pass (Y, column sums and ‖X‖² in ONE
+    # read), B pass → ~16.4 GB moved.  Without the kernel the
+    # means+‖X‖² reductions cost their own extra f32 pass (+4).
+    per_elt = (4 + 2 + 2 + 4 + 4) if fused_ok else (4 + 2 + 2 + 4 + 4 + 4)
+    bytes_moved = N_ROWS * N_COLS * per_elt
     gram_flops = 2 * N_ROWS * N_COLS * N_COLS
     stream_flops = 3 * 2 * N_ROWS * N_COLS * (K + OVERSAMPLES)
     flops = gram_flops + stream_flops

@@ -92,6 +92,19 @@ if not os.environ.get("PETAL_TPU_NO_X64"):
     enable_x64()
 
 
+def _cpu_flags() -> str:
+    """Stable fingerprint of the host CPU's ISA extensions (Linux); an
+    empty string elsewhere — the machine/processor fields still salt."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return " ".join(sorted(line.split(":", 1)[1].split()))
+    except OSError:
+        pass
+    return ""
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Point JAX's persistent compilation cache at ``path``.
 
@@ -99,18 +112,33 @@ def enable_compilation_cache(path: str | None = None) -> None:
     XLA compile (docs/DESIGN.md); the reference's LAPACK backend has
     zero warm-up, so matching its usability means never paying that
     compile twice.  Enabled at import (default
-    ``~/.cache/petal_tpu_jax``); opt out with
+    ``~/.cache/petal_tpu_jax_<cpu-fingerprint>`` — salted per host CPU
+    flavor, see `_cpu_flags`); opt out with
     ``PETAL_TPU_NO_COMPILE_CACHE=1`` or override the location with
     ``PETAL_TPU_COMPILE_CACHE_DIR``.
     """
     import jax
 
     if path is None:
-        path = os.environ.get(
-            "PETAL_TPU_COMPILE_CACHE_DIR",
-            os.path.join(
-                os.path.expanduser("~"), ".cache", "petal_tpu_jax"
-            ),
+        path = os.environ.get("PETAL_TPU_COMPILE_CACHE_DIR")
+    if path is None:
+        # Salt the default location with the host CPU identity: cached
+        # XLA:CPU executables are ahead-of-time machine code, and a
+        # cache written on one microarchitecture loads on another with
+        # only a warning ("could lead to execution errors such as
+        # SIGILL") — observed when a shared home directory crossed an
+        # AMX-capable and a non-AMX host.  TPU executables are serialized
+        # per accelerator target and unaffected; the salt merely splits
+        # the directory per host flavor.
+        import hashlib
+        import platform
+
+        salt = hashlib.sha256(
+            f"{platform.machine()}:{platform.processor()}:"
+            f"{_cpu_flags()}".encode()
+        ).hexdigest()[:12]
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", f"petal_tpu_jax_{salt}"
         )
     try:
         os.makedirs(path, exist_ok=True)
