@@ -273,9 +273,15 @@ def _ica_rates() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from petal_decomposition_tpu.models.fast_ica import _ica_par_core
+    from petal_decomposition_tpu.models.fast_ica import (
+        _ica_par_core,
+        resolve_decorrelation,
+    )
 
-    out = {}
+    # The API default: decorrelation="auto" → Newton–Schulz on
+    # accelerators, eigh on CPU.
+    decorr = resolve_decorrelation("auto")
+    out = {"decorrelation": decorr}
     x32 = jax.random.normal(
         jax.random.key(1), (ICA_K, ICA_N), jnp.float32
     )
@@ -283,7 +289,8 @@ def _ica_rates() -> dict:
 
     def run32():
         w, _, _ = _ica_par_core(
-            x32, jnp.asarray(1e-12, jnp.float32), ICA_ITERS, w32, "logcosh"
+            x32, jnp.asarray(1e-12, jnp.float32), ICA_ITERS, w32, "logcosh",
+            decorrelation=decorr,
         )
         np.asarray(w).ravel()[:1]
 
@@ -304,7 +311,7 @@ def _ica_rates() -> dict:
     def run_polish():
         w, _, _ = _ica_par_core(
             x64, jnp.asarray(1e-30, jnp.float64), 10, w64, "logcosh",
-            precision="full",
+            precision="full", decorrelation=decorr,
         )
         np.asarray(w).ravel()[:1]
 
@@ -331,7 +338,7 @@ def _ica_rates() -> dict:
     def run_mixed():
         w, lim, n_iter = _ica_par_core(
             src64, jnp.asarray(1e-4, jnp.float64), 200, w64, "logcosh",
-            precision="f32",
+            precision="f32", decorrelation=decorr,
         )
         np.asarray(w).ravel()[:1]
         return int(n_iter)

@@ -22,7 +22,8 @@ Fidelity notes:
 
 The iteration is a single jitted ``lax.while_loop``: two MXU matmuls
 (``W·X`` k×k×n and ``G·Xᵀ`` k×n×k) plus the k×k symmetric decorrelation
-(eigh, or matmul-only Newton–Schulz with ``decorrelation="ns"``) per
+(eigh, or the matmul-only Newton–Schulz that ``decorrelation="auto"``
+picks on accelerators — see :func:`resolve_decorrelation`) per
 step, so the whole solve stays on-device with no host round-trips.
 """
 
@@ -255,6 +256,26 @@ def resolve_iteration_precision(setting: str, dtype) -> str:
     )
 
 
+def resolve_decorrelation(setting: str) -> str:
+    """Eager-context resolution of ``decorrelation="auto"``: the
+    matmul-only Newton–Schulz route on accelerators and the eigh route
+    on CPU (reference-faithful; a LAPACK-grade k×k ``?syev`` is cheap
+    there).  On TPU the in-loop k×k eigensolve is launch-latency-bound —
+    measured 1044 → ~1540 iters/s at 64×100k f32 on v5e.  The two
+    routes compute the same unique ``(W·Wᵀ)^(−1/2)·W`` to working
+    precision on the loop's inputs: each step re-decorrelates, so the
+    iterate stays near-orthonormal (κ ≈ 1, inside NS's κ ≲ 1e5
+    envelope), and the initial decorrelation of the *unbounded* random
+    W always uses eigh (`_ica_par_core`).  Measured operator parity on
+    near-orthonormal inputs: ≤ 6e-15 (f64) / ≤ 6e-7 (f32) at
+    k ∈ {16, 64, 256}."""
+    from ..ops.linalg import effective_platform
+
+    if setting != "auto":
+        return setting
+    return "ns" if effective_platform() != "cpu" else "eigh"
+
+
 def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
             decorrelation: str = "eigh", precision: str = "full"):
     """Symmetric FastICA iteration (ref: ica.rs:319-361).
@@ -289,13 +310,13 @@ class FastIca:
                  fun: str = "logcosh", tol: float = 1e-4,
                  max_iter: int = 200, whiten_solver: str = "auto",
                  mesh=None, n_components: int | None = None,
-                 decorrelation: str = "eigh",
+                 decorrelation: str = "auto",
                  iteration_precision: str = "auto"):
         if fun not in _CONTRASTS:
             raise ValueError(f"unknown contrast function {fun!r}")
         if whiten_solver not in ("auto", "svd", "eigh"):
             raise ValueError(f"unknown whiten solver {whiten_solver!r}")
-        if decorrelation not in ("eigh", "ns"):
+        if decorrelation not in ("auto", "eigh", "ns"):
             raise ValueError(f"unknown decorrelation {decorrelation!r}")
         if iteration_precision not in ("auto", "f32", "full"):
             raise ValueError(
@@ -442,7 +463,7 @@ class FastIca:
                     fun=self._fun, tol=self._tol, max_iter=self._max_iter,
                     n_valid=n_true if n_true != x_sh.shape[0] else None,
                     n_components=self._n_components,
-                    decorrelation=self._decorrelation,
+                    decorrelation=resolve_decorrelation(self._decorrelation),
                     precision=resolve_iteration_precision(
                         self._iteration_precision, x.dtype
                     ),
@@ -492,7 +513,7 @@ class FastIca:
 
         w, n_iter = ica_par(
             x1, self._tol, self._max_iter, w_init, fun=self._fun,
-            decorrelation=self._decorrelation,
+            decorrelation=resolve_decorrelation(self._decorrelation),
             precision=resolve_iteration_precision(
                 self._iteration_precision, x.dtype
             ),
@@ -606,7 +627,7 @@ class FastIcaBuilder:
         self._whiten_solver = "auto"
         self._mesh = None
         self._n_components = None
-        self._decorrelation = "eigh"
+        self._decorrelation = "auto"
         self._iteration_precision = "auto"
 
     @classmethod
@@ -651,8 +672,10 @@ class FastIcaBuilder:
         return self
 
     def decorrelation(self, method: str) -> "FastIcaBuilder":
-        """In-loop symmetric decorrelation: ``"eigh"`` (reference-exact)
-        or ``"ns"`` (matmul-only Newton-Schulz, MXU-friendly)."""
+        """In-loop symmetric decorrelation: ``"eigh"`` (reference-exact),
+        ``"ns"`` (matmul-only Newton-Schulz, MXU-friendly), or
+        ``"auto"`` (ns on accelerators, eigh on CPU — see
+        :func:`resolve_decorrelation`)."""
         self._decorrelation = method
         return self
 

@@ -203,6 +203,42 @@ def test_fast_ica_ns_decorrelation_recovers_sources():
     assert np.all(corr.max(axis=1) > 0.95)
 
 
+def test_decorrelation_auto_resolution():
+    """``"auto"`` resolves eigh on CPU (reference parity) and ns on
+    accelerators; explicit settings pass through."""
+    from petal_decomposition_tpu.models.fast_ica import (
+        resolve_decorrelation,
+    )
+    from petal_decomposition_tpu.ops.linalg import effective_platform
+
+    assert resolve_decorrelation("eigh") == "eigh"
+    assert resolve_decorrelation("ns") == "ns"
+    expected = "eigh" if effective_platform() == "cpu" else "ns"
+    assert resolve_decorrelation("auto") == expected
+
+    with pytest.raises(ValueError, match="decorrelation"):
+        FastIca(decorrelation="newton")
+
+
+def test_fast_ica_ns_k_exceeds_data_rank():
+    """The NS decorrelation must survive the rank-deficient in-loop
+    update (k > rank(X) zeroes whitened channels): Newton–Schulz null
+    directions amplify f.p. noise by ~1/√eps instead of eigh's clean
+    pseudo-inverse zeros, and the projector certificate must still
+    pass with finite output."""
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((5000, 2)) @ rng.standard_normal((2, 64)))
+    for dtype in (np.float32, np.float64):
+        ica = (
+            FastIcaBuilder().seed(RNG_SEED).n_components(4)
+            .decorrelation("ns").build()
+        )
+        y = np.asarray(ica.fit_transform(x.astype(dtype)))
+        assert y.shape == (5000, 4)
+        assert np.all(np.isfinite(y))
+        assert np.all(np.isfinite(np.asarray(ica.components())))
+
+
 def test_fast_ica_complex():
     """Complex inputs fit without crashing and behave consistently
     (the reference's FastIca is generic over c32/c64,
