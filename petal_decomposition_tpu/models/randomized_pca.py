@@ -269,8 +269,15 @@ class RandomizedPca:
             from ..parallel.mesh import shard_rows_padded
 
             x_sh, n_true = shard_rows_padded(x, self._mesh)
-            # Sharded trace: VMEM kernels run replicated via shard_map.
+            # Sharded trace: VMEM kernels run replicated via shard_map;
+            # the fused sketch+moments kernel runs per shard (probe must
+            # run eagerly, before the jitted fit traces).
             warm_kernel_probes(x.dtype)
+            fused_ok = False
+            if jnp.dtype(x.dtype) == jnp.float32:
+                from ..ops.pallas import sketch_kernel as _sketch_kernel
+
+                fused_ok = _sketch_kernel.mesh_kernel_available(self._mesh)
             with replicated_kernel_mesh(self._mesh):
                 st = randomized_pca_fit(
                     x_sh, subkey,
@@ -283,6 +290,7 @@ class RandomizedPca:
                     finder_precision=self._finder_precision,
                     range_finder=self._range_finder,
                     gram_precision=self._gram_precision,
+                    fused_sketch=fused_ok,
                     cfg=_config.cache_key() + (self._mesh,),
                 )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]

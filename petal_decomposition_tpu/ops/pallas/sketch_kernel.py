@@ -118,7 +118,12 @@ def fused_sketch_moments(x, w):
 
     ``Y = x @ w`` at bf16/f32-accumulate, ``colsum = Σᵢ x[i, :]`` and
     ``sqnorm = Σ x²`` in f32.  ``x`` is (n, d) float32, ``w`` (d, l)
-    float32.  Callers gate on :func:`supports`.
+    float32.  Callers gate on :func:`supports` (per-shard rows under a
+    mesh).  Inside a mesh trace (``replication.replicated_kernel_mesh``)
+    the kernel runs per-shard under ``shard_map`` — row-sharded ``x``
+    and ``y``, replicated ``w`` — and the two moment reductions finish
+    with one ``psum`` each; zero-padded rows contribute nothing to any
+    output, so uneven sharding needs no extra masking here.
     """
     from .replication import current_mesh
 
@@ -127,12 +132,7 @@ def fused_sketch_moments(x, w):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "interpret"))
-def _fused_sketch_moments(x, w, *, mesh, interpret=False):
-    if mesh is not None:  # pragma: no cover - guarded by callers
-        raise NotImplementedError(
-            "fused_sketch_moments runs single-device only"
-        )
+def _call_kernel(x, w, interpret: bool):
     n, d = x.shape
     l = w.shape[1]
     bm = _block_rows(d, ((l + 7) // 8) * 8)
@@ -162,6 +162,34 @@ def _fused_sketch_moments(x, w, *, mesh, interpret=False):
     return y[:n], cs[0], sq[0, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "interpret"))
+def _fused_sketch_moments(x, w, *, mesh, interpret=False):
+    if mesh is None:
+        return _call_kernel(x, w, interpret)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def per_shard(xs, ws):
+        y, cs, sq = _call_kernel(xs, ws, interpret)
+        return (
+            y,
+            jax.lax.psum(cs, axis),
+            jax.lax.psum(sq, axis),
+        )
+
+    return jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=(P(axis, None), P(None), P()),
+        # pallas_call's out_shape carries no varying-mesh-axes metadata,
+        # so the vma checker cannot type the kernel's outputs.
+        check_vma=False,
+    )(x, w)
+
+
 _probe_result: bool | None = None
 
 
@@ -189,3 +217,42 @@ def kernel_available() -> bool:
 def probed() -> bool | None:
     """Probe result if it already ran (safe to consult under tracing)."""
     return _probe_result
+
+
+_mesh_probe_results: dict = {}
+
+
+def mesh_kernel_available(mesh) -> bool:
+    """One-time compile/run probe of the per-shard ``shard_map`` path on
+    ``mesh`` (eager only).  Separate from :func:`kernel_available`: the
+    single-device kernel compiling does not guarantee the
+    shard_map-wrapped variant does, and a probe failure must degrade the
+    mesh fit to the kernel-free Gram flow instead of breaking it."""
+    key = (id(mesh), mesh.shape_tuple)
+    if key in _mesh_probe_results:
+        return _mesh_probe_results[key]
+    if not kernel_available():
+        _mesh_probe_results[key] = False
+        return False
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .replication import replicated_kernel_mesh
+
+    ok = False
+    for _ in range(2):  # one retry: transient remote-compile failures
+        try:
+            n = 128 * mesh.size
+            x = jax.device_put(
+                jnp.ones((n, 128), jnp.float32),
+                NamedSharding(mesh, P(mesh.axis_names[0], None)),
+            )
+            w = jnp.ones((128, 7), jnp.float32)
+            with replicated_kernel_mesh(mesh):
+                y, cs, sq = fused_sketch_moments(x, w)
+            jax.block_until_ready((y, cs, sq))
+            ok = True
+            break
+        except Exception:
+            ok = False
+    _mesh_probe_results[key] = ok
+    return ok

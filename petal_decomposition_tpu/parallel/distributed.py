@@ -240,9 +240,14 @@ def _gram_moments(x, centering: bool, n_valid: int | None,
 
 
 def _fused_gram_flow(x, omega, centering: bool, n_power_iters: int,
-                     gram_precision: str, n: int):
+                     gram_precision: str, n: int,
+                     n_valid: int | None = None):
     """Gram range finder with the fused sketch+moments Pallas kernel
-    (single device, real f32): ``(means, total_variance, Y)``.
+    (real f32; single-device or per-shard under a mesh trace):
+    ``(means, total_variance, Y)``.  Zero-padded rows (uneven sharding,
+    ``n_valid``) contribute nothing to the kernel's outputs; only the
+    appended ones column and the guard's explicit centering need
+    re-masking.
 
     The subspace iteration runs on the RAW Gram ``XᵀX`` — so the means
     are not needed before the sketch and can ride the sketch pass
@@ -269,16 +274,26 @@ def _fused_gram_flow(x, omega, centering: bool, n_power_iters: int,
     means = colsum / n
     msq = n * jnp.sum(means * means)
     tv = sq - msq  # ‖X − 1μᵀ‖²_F = ‖X‖²_F − n‖μ‖²
-    ones_col = jnp.ones((x.shape[0], 1), x.dtype)
+    if n_valid is not None and n_valid != x.shape[0]:
+        ones_col = (
+            jnp.arange(x.shape[0]) < n_valid
+        ).astype(x.dtype)[:, None]
+    else:
+        ones_col = jnp.ones((x.shape[0], 1), x.dtype)
 
     def fast(_):
         corr = mdot(means[None, :], w)[0]
+        # The masked ones column also re-zeroes the rank-1 centering
+        # correction on padded rows (y_raw is already zero there).
         return jnp.concatenate(
             [y_raw - jnp.outer(ones_col[:, 0], corr), ones_col], axis=1
         )
 
     def explicit(_):
         xc = x - means
+        if n_valid is not None and n_valid != x.shape[0]:
+            mask = (jnp.arange(x.shape[0]) < n_valid)[:, None]
+            xc = jnp.where(mask, xc, 0)
         g_e = _gram_of(xc, gram_precision)
         w_e = _gram_subspace(g_e, omega, n_power_iters)
         return jnp.concatenate([mdot(xc, w_e), ones_col], axis=1)
@@ -374,10 +389,12 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     * ``"auto"``  — see :func:`_resolve_range_finder`.
 
     ``fused_sketch`` (static): allow the fused sketch+moments Pallas
-    kernel on the Gram-finder path (single-device real f32 at
-    ``gram_precision="default"`` only — see :func:`_fused_gram_flow`).
-    Callers must have verified ``sketch_kernel.kernel_available()``
-    eagerly; the flag is refined in-trace by ``sketch_kernel.supports``.
+    kernel on the Gram-finder path (real f32 at
+    ``gram_precision="default"``; under a mesh trace it runs per shard
+    via ``shard_map`` — see :func:`_fused_gram_flow`).  Callers must
+    have verified ``sketch_kernel.kernel_available()`` eagerly; the
+    flag is refined in-trace by ``sketch_kernel.supports`` on the
+    per-shard row count.
 
     ``gram_precision`` (static): matmul precision of the Gram pass
     (``"default"`` = bf16 inputs / f32 accumulate, ``"high"``,
@@ -445,18 +462,27 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         q = q.astype(x.dtype)
     elif range_finder == "gram":
         from ..ops.pallas import sketch_kernel
+        from ..ops.pallas.replication import current_mesh
 
+        kernel_mesh = current_mesh()
+        # Under a mesh trace the kernel runs per shard: gate on the
+        # per-shard row count (shard_rows_padded guarantees evenness).
+        rows = (
+            x.shape[0]
+            if kernel_mesh is None
+            else x.shape[0] // kernel_mesh.size
+        )
         use_fused = (
             fused_sketch
-            and n_valid is None  # single device: no padded rows
             and fuse_centering
             and gram_precision == "default"
             and x.dtype == jnp.float32
-            and sketch_kernel.supports(n, d, l, x.dtype)
+            and sketch_kernel.supports(rows, d, l, x.dtype)
         )
         if use_fused:
             means, tv, q = _fused_gram_flow(
-                x, omega, centering, n_power_iters, gram_precision, n
+                x, omega, centering, n_power_iters, gram_precision, n,
+                n_valid,
             )
         else:
             means, g_sub, tv = _gram_moments(

@@ -116,6 +116,65 @@ class TestFusedGramFlow:
         )[:6]
         np.testing.assert_allclose(s_f, s_ref, rtol=1e-3)
 
+    def test_mesh_shard_map_kernel(self, interpret):
+        """Under a mesh trace the kernel runs per shard via shard_map:
+        row-sharded Y, psum'd moments — must match the single-device
+        call bit-for-bit in interpret mode (same f32 arithmetic, same
+        block decomposition per shard)."""
+        from petal_decomposition_tpu.ops.pallas.replication import (
+            replicated_kernel_mesh,
+        )
+        from petal_decomposition_tpu.parallel import make_mesh
+        from petal_decomposition_tpu.parallel.mesh import shard_rows_padded
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((4096, 96)) + 0.2, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((96, 11)), jnp.float32)
+        y0, cs0, sq0 = sketch_kernel.fused_sketch_moments(x, w)
+        x_sh, n_true = shard_rows_padded(x, mesh)
+        assert n_true == x.shape[0] == x_sh.shape[0]
+        with replicated_kernel_mesh(mesh):
+            y1, cs1, sq1 = sketch_kernel.fused_sketch_moments(x_sh, w)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cs1), np.asarray(cs0),
+                                   rtol=1e-5, atol=1e-4)
+        assert abs(float(sq1) - float(sq0)) / float(sq0) < 1e-6
+
+    def test_mesh_pipeline_uneven_rows(self, interpret):
+        """Full Gram-finder pipeline with the per-shard fused kernel on
+        an 8-device mesh, uneven rows (pad + masked ones column): σ,
+        means and total variance must match the unsharded fused fit.
+        Shapes chosen so the per-shard row count passes the kernel's
+        supports() gate (4125 rows/shard ≥ 4·block)."""
+        from petal_decomposition_tpu.ops.pallas.replication import (
+            replicated_kernel_mesh,
+        )
+        from petal_decomposition_tpu.parallel import make_mesh
+        from petal_decomposition_tpu.parallel.mesh import shard_rows_padded
+
+        mesh = make_mesh(8)
+        x = _data(32_999, 64, offset=0.4, decay=True)
+        st1 = self._fit(x, fused=True, cfg=("interp-mesh-ref",))
+        x_sh, n_true = shard_rows_padded(jnp.asarray(x), mesh)
+        assert n_true != x_sh.shape[0]  # padding engaged
+        with replicated_kernel_mesh(mesh):
+            st2 = randomized_pca_fit(
+                x_sh, key_from_seed(11), n_components=6,
+                normalizer="cholqr2", range_finder="gram",
+                gram_precision="default", fused_sketch=True,
+                n_valid=n_true,
+                cfg=("interp-mesh",),
+            )
+        np.testing.assert_allclose(np.asarray(st2["sigma"])[:6],
+                                   np.asarray(st1["sigma"])[:6], rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(st2["means"]),
+                                   np.asarray(st1["means"]),
+                                   rtol=1e-4, atol=1e-5)
+        tv1, tv2 = float(st1["total_variance"]), float(st2["total_variance"])
+        assert abs(tv2 - tv1) / tv1 < 1e-5
+
     def test_no_centering_skips_ones_column(self, interpret):
         x = _data(4200, 64, offset=0.0)
         st = self._fit(x, fused=True, cfg=("interp-nc",))
