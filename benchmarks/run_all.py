@@ -130,22 +130,29 @@ def config3_fastica():
     import jax
     import jax.numpy as jnp
 
-    from petal_decomposition_tpu.models.fast_ica import _ica_par_core
+    from petal_decomposition_tpu.models.fast_ica import (
+        _ica_par_core,
+        resolve_decorrelation,
+    )
 
     k, n, iters = 64, 100_000, 50
     x1 = jax.random.normal(jax.random.key(1), (k, n), jnp.float32)
     w0 = jax.random.normal(jax.random.key(2), (k, k), jnp.float32)
     tol = jnp.asarray(1e-12, jnp.float32)
+    decorr = resolve_decorrelation("auto")  # the API default
 
     def run():
-        w, _, _ = _ica_par_core(x1, tol, iters, w0, "logcosh")
+        w, _, _ = _ica_par_core(
+            x1, tol, iters, w0, "logcosh", decorrelation=decorr
+        )
         _sync(w)
 
     run()
     t0 = time.perf_counter()
     run()
     dt = time.perf_counter() - t0
-    out = {"iters_per_sec": round(iters / dt, 1),
+    out = {"decorrelation": decorr,
+           "iters_per_sec": round(iters / dt, 1),
            "ms_per_iter": round(dt / iters * 1e3, 3)}
 
     # f64 iteration rate: reference-faithful full precision (XLA's
