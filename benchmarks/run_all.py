@@ -169,7 +169,8 @@ def config3_fastica():
     ):
         def run64():
             w, _, _ = _ica_par_core(
-                x64, tol64, n_it, w64, "logcosh", precision=prec
+                x64, tol64, n_it, w64, "logcosh", precision=prec,
+                decorrelation=decorr,
             )
             _sync(w)
 

@@ -174,6 +174,10 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
     n = n_pad if n_valid is None else n_valid
     pad = n_pad - n
     g0 = _GPRIME_AT_ZERO[fun]
+    if decorrelation not in ("eigh", "ns"):
+        # "auto" must be resolved by the caller (resolve_decorrelation):
+        # this function is backend-agnostic and trace-cached.
+        raise ValueError(f"unknown decorrelation {decorrelation!r}")
     decorr = (
         symmetric_decorrelation_ns
         if decorrelation == "ns"
@@ -280,6 +284,9 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
             decorrelation: str = "eigh", precision: str = "full"):
     """Symmetric FastICA iteration (ref: ica.rs:319-361).
 
+    ``decorrelation`` accepts ``"auto"`` (resolved per
+    :func:`resolve_decorrelation`), ``"eigh"``, or ``"ns"``.
+
     Returns ``(w, n_iter)``; ``n_iter == max_iter`` when the tolerance was
     never reached, matching the reference's return at ica.rs:360.
     """
@@ -287,7 +294,8 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
     w, _, n_iter = _ica_par_core(
         x, jnp.asarray(tol, _common.real_dtype(x.dtype)), int(max_iter),
         jnp.asarray(w_init), fun,
-        decorrelation=decorrelation, precision=precision,
+        decorrelation=resolve_decorrelation(decorrelation),
+        precision=precision,
         cfg=_config.cache_key(),
     )
     return w, int(n_iter)

@@ -274,7 +274,13 @@ class RandomizedPca:
             # run eagerly, before the jitted fit traces).
             warm_kernel_probes(x.dtype)
             fused_ok = False
-            if jnp.dtype(x.dtype) == jnp.float32:
+            if (
+                jnp.dtype(x.dtype) == jnp.float32
+                # Skip the (compile + run) probe when the trace could
+                # never dispatch the kernel anyway.
+                and self._range_finder != "direct"
+                and self._gram_precision in ("auto", "default")
+            ):
                 from ..ops.pallas import sketch_kernel as _sketch_kernel
 
                 fused_ok = _sketch_kernel.mesh_kernel_available(self._mesh)
@@ -291,6 +297,7 @@ class RandomizedPca:
                     range_finder=self._range_finder,
                     gram_precision=self._gram_precision,
                     fused_sketch=fused_ok,
+                    kernel_mesh=self._mesh if fused_ok else None,
                     cfg=_config.cache_key() + (self._mesh,),
                 )
             u, sigma, vt = st["u"][:n], st["sigma"], st["vt"]
@@ -341,7 +348,12 @@ class RandomizedPca:
         # Fused sketch+moments kernel (Gram-finder path): probe must
         # run eagerly, before the jitted fit traces.
         fused_ok = False
-        if accel_fast and jnp.dtype(x.dtype) == jnp.float32:
+        if (
+            accel_fast
+            and jnp.dtype(x.dtype) == jnp.float32
+            and self._range_finder != "direct"
+            and self._gram_precision in ("auto", "default")
+        ):
             from ..ops.pallas import sketch_kernel as _sketch_kernel
 
             fused_ok = _sketch_kernel.kernel_available()

@@ -127,9 +127,17 @@ def fused_sketch_moments(x, w):
     """
     from .replication import current_mesh
 
-    return _fused_sketch_moments(
-        x, w, mesh=current_mesh(), interpret=_INTERPRET
-    )
+    return fused_sketch_moments_on(x, w, current_mesh())
+
+
+def fused_sketch_moments_on(x, w, mesh):
+    """:func:`fused_sketch_moments` with the mesh passed explicitly
+    (``None`` = single device) instead of read from the ambient
+    ``replicated_kernel_mesh`` context — for callers whose own jit cache
+    key already encodes the mesh (``randomized_pca_fit``'s
+    ``kernel_mesh`` static), so a context change cannot desynchronize
+    from a cached trace."""
+    return _fused_sketch_moments(x, w, mesh=mesh, interpret=_INTERPRET)
 
 
 def _call_kernel(x, w, interpret: bool):
@@ -190,6 +198,18 @@ def _fused_sketch_moments(x, w, *, mesh, interpret=False):
     )(x, w)
 
 
+def _try_probe(run) -> bool:
+    """Run an eager probe with one retry (transient remote-compile
+    failures); any exception means "kernel unavailable here"."""
+    for _ in range(2):
+        try:
+            jax.block_until_ready(run())
+            return True
+        except Exception:
+            pass
+    return False
+
+
 _probe_result: bool | None = None
 
 
@@ -201,16 +221,13 @@ def kernel_available() -> bool:
     if jax.default_backend() == "cpu":
         _probe_result = False
         return False
-    for _ in range(2):  # one retry: transient remote-compile failures
-        try:
-            x = jnp.ones((2080, 128), jnp.float32)  # ragged vs bm=1024
-            w = jnp.ones((128, 7), jnp.float32)
-            y, cs, sq = fused_sketch_moments(x, w)
-            jax.block_until_ready((y, cs, sq))
-            _probe_result = True
-            break
-        except Exception:
-            _probe_result = False
+
+    def run():
+        x = jnp.ones((2080, 128), jnp.float32)  # ragged vs bm=1024
+        w = jnp.ones((128, 7), jnp.float32)
+        return fused_sketch_moments_on(x, w, None)
+
+    _probe_result = _try_probe(run)
     return _probe_result
 
 
@@ -227,32 +244,27 @@ def mesh_kernel_available(mesh) -> bool:
     ``mesh`` (eager only).  Separate from :func:`kernel_available`: the
     single-device kernel compiling does not guarantee the
     shard_map-wrapped variant does, and a probe failure must degrade the
-    mesh fit to the kernel-free Gram flow instead of breaking it."""
-    key = (id(mesh), mesh.shape_tuple)
-    if key in _mesh_probe_results:
-        return _mesh_probe_results[key]
-    if not kernel_available():
-        _mesh_probe_results[key] = False
-        return False
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh fit to the kernel-free Gram flow instead of breaking it.
 
-    from .replication import replicated_kernel_mesh
-
+    The probe uses a geometry the real dispatch would accept — 4100
+    rows per shard passes ``supports()`` (≥ 4·block) and exercises a
+    multi-block grid with a ragged last block — and ships the host
+    value through ``parallel.mesh.shard_rows``, which handles
+    non-fully-addressable (multi-process) shardings."""
+    if mesh in _mesh_probe_results:
+        return _mesh_probe_results[mesh]
     ok = False
-    for _ in range(2):  # one retry: transient remote-compile failures
-        try:
-            n = 128 * mesh.size
-            x = jax.device_put(
-                jnp.ones((n, 128), jnp.float32),
-                NamedSharding(mesh, P(mesh.axis_names[0], None)),
-            )
+    if kernel_available():
+        from ...parallel.mesh import shard_rows
+
+        def run():
+            import numpy as np
+
+            n = 4100 * mesh.size  # per-shard: supports()-conformant
+            x = shard_rows(np.ones((n, 128), np.float32), mesh)
             w = jnp.ones((128, 7), jnp.float32)
-            with replicated_kernel_mesh(mesh):
-                y, cs, sq = fused_sketch_moments(x, w)
-            jax.block_until_ready((y, cs, sq))
-            ok = True
-            break
-        except Exception:
-            ok = False
-    _mesh_probe_results[key] = ok
+            return fused_sketch_moments_on(x, w, mesh)
+
+        ok = _try_probe(run)
+    _mesh_probe_results[mesh] = ok
     return ok

@@ -241,13 +241,13 @@ def _gram_moments(x, centering: bool, n_valid: int | None,
 
 def _fused_gram_flow(x, omega, centering: bool, n_power_iters: int,
                      gram_precision: str, n: int,
-                     n_valid: int | None = None):
+                     n_valid: int | None = None, kernel_mesh=None):
     """Gram range finder with the fused sketch+moments Pallas kernel
-    (real f32; single-device or per-shard under a mesh trace):
-    ``(means, total_variance, Y)``.  Zero-padded rows (uneven sharding,
-    ``n_valid``) contribute nothing to the kernel's outputs; only the
-    appended ones column and the guard's explicit centering need
-    re-masking.
+    (real f32; single-device, or per-shard when ``kernel_mesh`` is a
+    mesh): ``(means, total_variance, Y)``.  Zero-padded rows (uneven
+    sharding, ``n_valid``) contribute nothing to the kernel's outputs;
+    only the appended ones column and the guard's explicit centering
+    need re-masking.
 
     The subspace iteration runs on the RAW Gram ``XᵀX`` — so the means
     are not needed before the sketch and can ride the sketch pass
@@ -261,13 +261,13 @@ def _fused_gram_flow(x, omega, centering: bool, n_power_iters: int,
     (`_GRAM_GUARD_RMAX`) an in-graph ``lax.cond`` redoes the operator,
     subspace, and sketch from an explicitly centered copy.
     """
-    from ..ops.pallas.sketch_kernel import fused_sketch_moments
+    from ..ops.pallas.sketch_kernel import fused_sketch_moments_on
 
     with jax.named_scope("gram"):
         g_raw = _gram_of(x, gram_precision)
     w = _gram_subspace(g_raw, omega, n_power_iters)
     with jax.named_scope("sketch_moments"):
-        y_raw, colsum, sq = fused_sketch_moments(x, w)
+        y_raw, colsum, sq = fused_sketch_moments_on(x, w, kernel_mesh)
     if not centering:
         means = jnp.zeros((x.shape[1],), x.dtype)
         return means, sq, y_raw
@@ -332,6 +332,7 @@ def _gram_subspace(g_sub, omega, n_power_iters: int):
         "range_finder",
         "gram_precision",
         "fused_sketch",
+        "kernel_mesh",
         "cfg",
     ),
 )
@@ -344,7 +345,8 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                        finder_precision: str = "full",
                        range_finder: str = "direct",
                        gram_precision: str = "auto",
-                       fused_sketch: bool = False, cfg=None):
+                       fused_sketch: bool = False,
+                       kernel_mesh=None, cfg=None):
     """Halko randomized SVD as one sharded XLA computation.
 
     Mirrors the single-device pipeline (pca.rs:665-718) with the
@@ -390,11 +392,17 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
 
     ``fused_sketch`` (static): allow the fused sketch+moments Pallas
     kernel on the Gram-finder path (real f32 at
-    ``gram_precision="default"``; under a mesh trace it runs per shard
-    via ``shard_map`` — see :func:`_fused_gram_flow`).  Callers must
-    have verified ``sketch_kernel.kernel_available()`` eagerly; the
-    flag is refined in-trace by ``sketch_kernel.supports`` on the
-    per-shard row count.
+    ``gram_precision="default"``).  Callers must have verified
+    ``sketch_kernel.kernel_available()`` eagerly; the flag is refined
+    in-trace by ``sketch_kernel.supports`` on the per-shard row count.
+
+    ``kernel_mesh`` (static): the mesh for a SHARDED fit that wants the
+    fused kernel per shard via ``shard_map`` (``None`` = single
+    device).  A static argument — not the ambient
+    ``replicated_kernel_mesh`` context — so the jit cache can never
+    reuse a bare-``pallas_call`` trace inside a GSPMD program (a bare
+    kernel has no partitioning rule).  Callers must have verified
+    ``sketch_kernel.mesh_kernel_available(mesh)`` eagerly.
 
     ``gram_precision`` (static): matmul precision of the Gram pass
     (``"default"`` = bf16 inputs / f32 accumulate, ``"high"``,
@@ -462,11 +470,9 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         q = q.astype(x.dtype)
     elif range_finder == "gram":
         from ..ops.pallas import sketch_kernel
-        from ..ops.pallas.replication import current_mesh
 
-        kernel_mesh = current_mesh()
-        # Under a mesh trace the kernel runs per shard: gate on the
-        # per-shard row count (shard_rows_padded guarantees evenness).
+        # Under a mesh the kernel runs per shard: gate on the per-shard
+        # row count (shard_rows_padded guarantees evenness).
         rows = (
             x.shape[0]
             if kernel_mesh is None
@@ -482,7 +488,7 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
         if use_fused:
             means, tv, q = _fused_gram_flow(
                 x, omega, centering, n_power_iters, gram_precision, n,
-                n_valid,
+                n_valid, kernel_mesh,
             )
         else:
             means, g_sub, tv = _gram_moments(

@@ -164,6 +164,7 @@ class TestFusedGramFlow:
                 x_sh, key_from_seed(11), n_components=6,
                 normalizer="cholqr2", range_finder="gram",
                 gram_precision="default", fused_sketch=True,
+                kernel_mesh=mesh,
                 n_valid=n_true,
                 cfg=("interp-mesh",),
             )
