@@ -144,6 +144,29 @@ def test_fast_ica_sharded_recovers_sources(mesh):
     assert ica.n_iter_ >= 1
 
 
+def test_fast_ica_sharded_ns_decorrelation_matches_unsharded(mesh):
+    """NS decorrelation inside the sharded pipeline (what
+    ``decorrelation="auto"`` picks on accelerator meshes) — pure
+    replicated k×k matmuls, so sharded ≡ unsharded on convergent
+    sources."""
+    rng = np.random.default_rng(8)
+    n = 2048
+    s = np.stack(
+        [rng.uniform(-1, 1, n), np.sign(rng.standard_normal(n))], axis=1
+    )
+    x = s @ np.array([[1.0, 0.5], [0.3, 1.0]])
+
+    ref = FastIcaBuilder().seed(RNG_SEED).decorrelation("ns").build()
+    ref.fit(x)
+    sh = (
+        FastIcaBuilder().seed(RNG_SEED).decorrelation("ns").mesh(mesh)
+        .build()
+    )
+    sh.fit(x)
+    c1, c2 = np.asarray(ref.components()), np.asarray(sh.components())
+    assert np.max(np.abs(c1 - c2)) < 1e-6
+
+
 def test_fast_ica_sharded_matches_eigh_whitening_unsharded(mesh):
     """Mesh fit ≡ single-device fit with the same key and eigh whitening.
 
