@@ -67,6 +67,19 @@ def sk_body(x, mu):
     return body
 out["sketch_centered"] = diff_time(sk_body, w0, (x, mu), iters=4)
 
+# 3b. the fused sketch+moments Pallas kernel (the pass that replaces
+# sketch + the sibling moments pass on the default accelerator path).
+from petal_decomposition_tpu.ops.pallas import sketch_kernel  # noqa: E402
+if sketch_kernel.kernel_available():
+    def fk_body(x, w0):
+        def body(_, s):
+            y, cs, sq = sketch_kernel.fused_sketch_moments(x + s, w0)
+            return (jnp.max(jnp.abs(y)) + jnp.max(jnp.abs(cs)) + sq) * 1e-30
+        return body
+    out["fused_sketch_moments_kernel"] = diff_time(
+        fk_body, jnp.float32(0), (x, w0), iters=4
+    )
+
 # 4. final orthonormalization: CholeskyQR2 of the 1M x 42 panel
 def cq_body():
     def body(_, q):
