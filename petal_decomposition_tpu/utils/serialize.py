@@ -23,10 +23,17 @@ __all__ = ["save", "load", "to_bytes", "from_bytes"]
 
 _ARRAY_PREFIX = "arr_"
 
+# Bump on any incompatible layout change; readers reject newer formats
+# with a clear error instead of constructing a silently-wrong model.
+_FORMAT_VERSION = 1
+
 
 def _model_state(model) -> tuple[dict, dict]:
     """Split a model's ``__dict__`` into (json-able scalars, arrays)."""
-    meta = {"__class__": type(model).__name__}
+    meta = {
+        "__class__": type(model).__name__,
+        "__format__": _FORMAT_VERSION,
+    }
     arrays = {}
     for name, value in vars(model).items():
         if name == "_mesh":
@@ -71,6 +78,13 @@ def from_bytes(data: bytes):
     classes = {c.__name__: c for c in (Pca, RandomizedPca, FastIca)}
     with np.load(io.BytesIO(data)) as npz:
         meta = json.loads(bytes(npz["__meta__"].tobytes()).decode("utf-8"))
+        fmt = meta.pop("__format__", 1)
+        if fmt > _FORMAT_VERSION:
+            raise ValueError(
+                f"serialized model uses format v{fmt}; this version of "
+                f"petal_decomposition_tpu reads up to v{_FORMAT_VERSION} "
+                "— upgrade the library to load it"
+            )
         cls = classes[meta.pop("__class__")]
         model = cls.__new__(cls)
         for name, value in meta.items():

@@ -107,3 +107,28 @@ def test_mesh_not_serialized():
         np.asarray(pca.transform(x)),
         atol=1e-12,
     )
+
+
+def test_future_format_version_rejected():
+    """A model written by a NEWER library version must load with a clear
+    error, not a silently-wrong model."""
+    import io
+    import json
+
+    import numpy as np
+    import pytest
+
+    from petal_decomposition_tpu import Pca
+    from petal_decomposition_tpu.utils import serialize
+
+    m = Pca(2).fit(np.random.default_rng(0).standard_normal((20, 4)))
+    data = serialize.to_bytes(m)
+    with np.load(io.BytesIO(data)) as npz:
+        meta = json.loads(bytes(npz["__meta__"].tobytes()).decode())
+        arrays = {k: npz[k] for k in npz.files if k != "__meta__"}
+    meta["__format__"] = serialize._FORMAT_VERSION + 1
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    with pytest.raises(ValueError, match="format v"):
+        serialize.from_bytes(buf.getvalue())
