@@ -301,12 +301,28 @@ def _ica_rates() -> dict:
         ICA_ITERS / (time.perf_counter() - t0), 1
     )
 
-    # f64 contract: the mixed iterate ("auto") runs its iterations at
-    # the f32-stage rate (identical math to the f32 iterate on the
-    # downcast whitened data) and finishes with an emulated-f64 polish.
+    # f64 contract: the mixed iterate ("auto") runs its iterations in
+    # the f32 stage and finishes with an emulated-f64 polish.  Stage-1
+    # rate is MEASURED on the mixed path itself (downcast pass +
+    # while_loop overhead included), not assumed equal to the f32 run.
     x64 = x32.astype(jnp.float64)
     w64 = w32.astype(jnp.float64)
-    out["f64_mixed_stage1_iters_per_sec"] = out["f32_iters_per_sec"]
+
+    def run_stage1():
+        # Non-convergent Gaussian data at the f32 floor: every
+        # iteration of the budget runs in stage 1.
+        w, _, n_iter = _ica_par_core(
+            x64, jnp.asarray(1e-30, jnp.float64), ICA_ITERS, w64,
+            "logcosh", precision="f32", decorrelation=decorr,
+        )
+        np.asarray(w).ravel()[:1]
+
+    run_stage1()
+    t0 = time.perf_counter()
+    run_stage1()
+    out["f64_mixed_stage1_iters_per_sec"] = round(
+        ICA_ITERS / (time.perf_counter() - t0), 1
+    )
 
     def run_polish():
         w, _, _ = _ica_par_core(

@@ -125,10 +125,19 @@ def run(out_path: str | None = None) -> dict:
     ]
     logs = []
     codes = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        logs.append(out)
-        codes.append(p.returncode)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out)
+            codes.append(p.returncode)
+    finally:
+        # A failed/renegade child must not orphan its sibling (a child
+        # stuck in jax.distributed.initialize holds the coordinator
+        # port and blocks every later run).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     if any(codes):
         raise RuntimeError(
             "multihost check failed:\n" + "\n----\n".join(logs)

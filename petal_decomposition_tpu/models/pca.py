@@ -199,8 +199,6 @@ class Pca:
                 return self._inner_fit_impl(x)
         _common.check_mesh_complex(self._mesh, x.dtype)
         return self._inner_fit_impl(x)
-        _common.check_mesh_complex(self._mesh, x.dtype)
-        return self._inner_fit_impl(x)
 
     def _inner_fit_impl(self, x):
         """ref: pca.rs:195-231."""

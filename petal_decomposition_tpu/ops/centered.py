@@ -30,6 +30,7 @@ __all__ = [
     "centered_rmatmul",
     "centered_gram",
     "centered_sqnorm",
+    "centered_sqnorm_guarded",
 ]
 
 
@@ -62,3 +63,40 @@ def centered_gram(x, means, n: int):
 def centered_sqnorm(x, means, n: int):
     """``‖X − 1μᵀ‖²_F = ‖X‖²_F − n·‖μ‖²``."""
     return jnp.sum(jnp.abs(x) ** 2) - n * jnp.sum(jnp.abs(means) ** 2)
+
+
+# Mean-domination guard for the analytic total variance: subtracting
+# n·‖μ‖² from ‖X‖²_F loses ~(1 + r) of the input grade at
+# r = n·‖μ‖² / ‖Xc‖²_F.  Past these ratios the error exceeds the
+# dtype's parity band (1e-5 f32 / 1e-10 f64) and the guarded form
+# recomputes ‖X − 1μᵀ‖²_F explicitly (one extra data pass, engaged only
+# when the data actually is mean-dominated).
+_SQNORM_GUARD_RMAX = {"float32": 1e2, "float64": 1e5}
+
+
+def guarded_sqnorm_from(sq, means, n: int, x, n_valid: int | None = None):
+    """Total variance from a precomputed ``sq = ‖X‖²_F``: the analytic
+    subtraction when safe, an explicit centered pass past the
+    mean-domination threshold (in-graph ``lax.cond``)."""
+    import jax
+
+    msq = n * jnp.sum(jnp.abs(means) ** 2)
+    tv = sq - msq
+    rmax = _SQNORM_GUARD_RMAX[
+        "float64" if jnp.real(means).dtype == jnp.float64 else "float32"
+    ]
+    r = msq / jnp.maximum(jnp.real(tv), jnp.asarray(1e-30, jnp.real(tv).dtype))
+
+    def explicit(_):
+        xc = _mask_rows(x - means, n_valid)
+        return jnp.sum(jnp.abs(xc) ** 2)
+
+    return jax.lax.cond(r > rmax, explicit, lambda _: tv, None)
+
+
+def centered_sqnorm_guarded(x, means, n: int, n_valid: int | None = None):
+    """``‖X − 1μᵀ‖²_F`` with the mean-domination guard (see
+    :func:`guarded_sqnorm_from`)."""
+    return guarded_sqnorm_from(
+        jnp.sum(jnp.abs(x) ** 2), means, n, x, n_valid
+    )

@@ -45,7 +45,8 @@ from ..ops.centered import (
     centered_gram,
     centered_matmul,
     centered_rmatmul,
-    centered_sqnorm,
+    centered_sqnorm_guarded,
+    guarded_sqnorm_from,
 )
 from ..ops.linalg import (
     cholesky_qr2,
@@ -94,7 +95,7 @@ def _contractions(x, centering: bool, n_valid: int | None,
             lambda m: centered_matmul(x, m, means, n_valid),
             lambda q: centered_rmatmul(x, q, means),
             lambda: centered_gram(x, means, n),
-            lambda: centered_sqnorm(x, means, n),
+            lambda: centered_sqnorm_guarded(x, means, n, n_valid),
         )
     means, xc = _masked_center(x, centering, n_valid)
     return (
@@ -228,7 +229,7 @@ def _gram_moments(x, centering: bool, n_valid: int | None,
             means = jnp.sum(x, axis=0) / n
         else:
             means = jnp.zeros((d,), x.dtype)
-        tv = centered_sqnorm(x, means, n)
+        tv = centered_sqnorm_guarded(x, means, n, n_valid)
         with jax.named_scope("gram"):
             g_raw = _gram_of(x, gram_precision)
         return means, _guarded(g_raw, means), tv
@@ -273,7 +274,10 @@ def _fused_gram_flow(x, omega, centering: bool, n_power_iters: int,
         return means, sq, y_raw
     means = colsum / n
     msq = n * jnp.sum(means * means)
-    tv = sq - msq  # ‖X − 1μᵀ‖²_F = ‖X‖²_F − n‖μ‖²
+    # ‖X − 1μᵀ‖²_F = ‖X‖²_F − n‖μ‖², cancellation-guarded: tv is
+    # user-visible (explained-variance denominators), so the analytic
+    # subtraction alone is not enough on mean-dominated data.
+    tv = guarded_sqnorm_from(sq, means, n, x, n_valid)
     if n_valid is not None and n_valid != x.shape[0]:
         ones_col = (
             jnp.arange(x.shape[0]) < n_valid

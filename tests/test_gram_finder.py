@@ -62,6 +62,35 @@ def test_gram_mean_dominated_guard():
     assert np.max(np.abs(s_dir - s_gram) / s_dir) < 1e-4
 
 
+def test_mean_dominated_total_variance():
+    """total_variance is user-visible (explained-variance denominators):
+    with fused centering the analytic ‖X‖² − n‖μ‖² subtraction loses
+    ~(1+r) of the input grade at r = n‖μ‖²/‖Xc‖² and must be
+    cancellation-guarded.  At offset=1000 (f32, r ≈ 3e3) the unguarded
+    form errs at the ~0.1%+ level; the guard recomputes explicitly.
+    Exercised at the pipeline level with fuse_centering=True — the
+    accelerator configuration (CPU model fits keep explicit
+    centering)."""
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.parallel.distributed import (
+        randomized_pca_fit,
+    )
+    from petal_decomposition_tpu.utils.rng import key_from_seed
+
+    x = _data(offset=1000.0)
+    tv_ref = ((x.astype(np.float64)
+               - x.astype(np.float64).mean(0)) ** 2).sum()
+    for rf in ("gram", "direct"):
+        st = randomized_pca_fit(
+            jnp.asarray(x), key_from_seed(RNG_SEED), n_components=8,
+            normalizer="cholqr2", range_finder=rf,
+            fuse_centering=True, cfg=("tv-guard", rf),
+        )
+        tv = float(st["total_variance"])
+        assert abs(tv - tv_ref) / tv_ref < 1e-5, (rf, tv, tv_ref)
+
+
 def test_gram_no_centering():
     x = _data()
     s_dir = np.asarray(
@@ -99,10 +128,6 @@ def test_gram_rejects_complex():
 
 
 def test_auto_resolution():
-    # CPU → always direct (reference parity).
-    assert _resolve_range_finder("auto", jnp.float32, 10**6, 1024, 42) in (
-        "direct", "gram"
-    )  # platform-dependent; on the CPU test backend it must be direct
     from petal_decomposition_tpu.ops.linalg import effective_platform
 
     if effective_platform() == "cpu":
