@@ -127,6 +127,31 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
     )
     with jax.named_scope("gram"):
         c = gram()  # (d, d), psum over the sample axis
+    if fuse_centering and centering:
+        # σ come straight from this Gram: the fused rank-1 centering
+        # (XᵀX − n·μμᵀ) loses ~(1 + r) of the input grade at
+        # r = n‖μ‖²/tr(C).  Unlike the range finder (where the Gram
+        # only builds a subspace and recovery is quadratically
+        # insensitive), the exact path reads σ² off this matrix, so it
+        # uses the tight per-dtype thresholds of the total-variance
+        # guard (measured: r ≈ 6.7e3 already costs 3.6e-4 relative σ
+        # error at f32 `highest`); past them, rebuild from an
+        # explicitly centered copy.
+        from ..ops.centered import _SQNORM_GUARD_RMAX
+
+        tr = jnp.real(jnp.trace(c))
+        r = n * jnp.sum(jnp.abs(means) ** 2) / jnp.maximum(
+            tr, jnp.asarray(1e-30, tr.dtype)
+        )
+        rmax = _SQNORM_GUARD_RMAX[
+            "float64" if tr.dtype == jnp.float64 else "float32"
+        ]
+
+        def explicit(_):
+            xc = _masked_center(x, centering, n_valid)[1]
+            return mdot(xc.conj().T, xc)
+
+        c = jax.lax.cond(r > rmax, explicit, lambda _: c, None)
     with jax.named_scope("eigh"):
         lam, v, off = eigh_psd_jit_cert(c)  # ascending
     lam = lam[::-1]

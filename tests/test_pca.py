@@ -273,3 +273,25 @@ def test_real_fit_after_complex_fit_same_model():
     if getattr(model._key, "_committed", False):
         dev = list(model._key.devices())[0]
         assert dev.platform == jax.default_backend()
+
+
+def test_exact_gram_mean_dominated_sigma():
+    """pca_fit_gram with fused rank-1 centering: σ come straight from
+    the analytic Gram XᵀX − n·μμᵀ, which cancels catastrophically on
+    mean-dominated data — the in-graph guard must rebuild from an
+    explicitly centered copy (accelerator configuration; CPU model
+    fits center explicitly)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from petal_decomposition_tpu.parallel.distributed import pca_fit_gram
+
+    rng = np.random.default_rng(3)
+    x = ((rng.standard_normal((2000, 64)) @ np.diag(np.linspace(1, 10, 64)))
+         + 500.0).astype(np.float32)
+    st = pca_fit_gram(jnp.asarray(x), fuse_centering=True,
+                      cfg=("exact-gram-guard",))
+    x64 = x.astype(np.float64)
+    s_ref = np.linalg.svd(x64 - x64.mean(0), compute_uv=False)
+    s = np.asarray(st["sigma"])[:8]
+    assert np.max(np.abs(s - s_ref[:8]) / s_ref[:8]) < 1e-4
