@@ -67,11 +67,12 @@ def centered_sqnorm(x, means, n: int):
 
 # Mean-domination guard for the analytic total variance: subtracting
 # n·‖μ‖² from ‖X‖²_F loses ~(1 + r) of the input grade at
-# r = n·‖μ‖² / ‖Xc‖²_F.  Past these ratios the error exceeds the
-# dtype's parity band (1e-5 f32 / 1e-10 f64) and the guarded form
+# r = n·‖μ‖² / ‖Xc‖²_F — measured error ≈ 2·eps·(1 + r) (1.2e-5 at
+# r = 87, f32).  The thresholds keep that under the dtype's parity band
+# (1e-5 f32 / 1e-10 f64) with ~3× margin; past them the guarded form
 # recomputes ‖X − 1μᵀ‖²_F explicitly (one extra data pass, engaged only
 # when the data actually is mean-dominated).
-_SQNORM_GUARD_RMAX = {"float32": 1e2, "float64": 1e5}
+_SQNORM_GUARD_RMAX = {"float32": 30.0, "float64": 3e4}
 
 
 def guarded_sqnorm_from(sq, means, n: int, x, n_valid: int | None = None):

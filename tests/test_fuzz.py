@@ -49,3 +49,34 @@ def test_pca_roundtrip_fuzz(seed):
     y = pca.fit_transform(x)
     z = np.asarray(pca.inverse_transform(y))
     assert np.abs(z - x).max() < 1e-9
+
+
+@pytest.mark.parametrize("seed", range(2))
+@pytest.mark.parametrize("offset", [0.0, 30.0, 3000.0])
+def test_randomized_fused_centering_offset_fuzz(seed, offset):
+    """Fused-centering pipeline across mean offsets spanning the
+    analytic→guarded regimes (r grows with offset²): σ and total
+    variance must track host-f64 truth everywhere."""
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.parallel.distributed import (
+        randomized_pca_fit,
+    )
+    from petal_decomposition_tpu.utils.rng import key_from_seed
+
+    rng = np.random.default_rng(300 + seed)
+    x = (rng.standard_normal((800, 96)).astype(np.float32)
+         * np.linspace(1, 5, 96, dtype=np.float32) + offset)
+    st = randomized_pca_fit(
+        jnp.asarray(x), key_from_seed(7 + seed), n_components=6,
+        normalizer="cholqr2", fuse_centering=True,
+        cfg=("offset-fuzz", seed, offset),
+    )
+    x64 = x.astype(np.float64)
+    xc = x64 - x64.mean(0)
+    s_ref = np.linalg.svd(xc, compute_uv=False)
+    s = np.asarray(st["sigma"])[:6]
+    assert np.max(np.abs(s - s_ref[:6]) / s_ref[:6]) < 2e-2  # sketch band
+    tv = float(st["total_variance"])
+    tv_ref = (xc ** 2).sum()
+    assert abs(tv - tv_ref) / tv_ref < 1e-5
