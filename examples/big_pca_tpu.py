@@ -14,8 +14,15 @@ import time
 
 import numpy as np
 
+import os
+
 import petal_decomposition_tpu  # noqa: F401  (x64 + cache config at import)
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # The remote-TPU (axon) plugin ignores the env var; honor it here so
+    # the documented `JAX_PLATFORMS=cpu python examples/...` works.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from petal_decomposition_tpu import RandomizedPca, RandomizedPcaBuilder, save, load
 from petal_decomposition_tpu.parallel import make_mesh
@@ -52,6 +59,18 @@ s1 = np.asarray(pca.singular_values_)
 s2 = np.asarray(sharded.singular_values_)
 print(f"mesh({mesh.size} device(s)): sigma rel diff vs single device:",
       float(np.max(np.abs(s1 - s2) / s1)))
+
+# --- out of core: the same fit from a stream of row blocks -----------
+# fit_batched never holds more than one block on device (DESIGN.md §8);
+# an np.memmap input would stream from disk the same way.
+streamed = RandomizedPca(k, seed=1_234_567_891_011_121_314)
+streamed.fit_batched(
+    (x[i : i + 16_384] for i in range(0, n, 16_384)), block_rows=32_768
+)
+s3 = np.asarray(streamed.singular_values_)
+print("streamed (out-of-core) sigma rel diff vs in-core:",
+      float(np.max(np.abs(s1 - s3) / s1)),
+      "| blocks:", streamed.last_fit_stats_.extra["streamed_blocks"])
 
 # --- persistence: a restored model transforms identically ------------
 save(pca, "/tmp/big_pca.npz")

@@ -162,6 +162,28 @@ class Pca:
             mesh=self._mesh,
         )
 
+    def fit_batched(self, blocks, *, block_rows: int | None = None) -> "Pca":
+        """Out-of-core fit from a stream of row blocks (or one 2-D
+        array-like sliced host-side, e.g. an ``np.memmap``): one pass
+        accumulates the d×d Gram + moments on device, then the
+        covariance eigenproblem yields the components — data larger
+        than HBM (or host RAM, via memmap) fits on one chip.  No
+        reference analogue (its fits require the whole matrix in RAM,
+        pca.rs:195-231); accuracy/sign contract in
+        :mod:`.streaming`.  Returns ``self``."""
+        from . import streaming
+
+        return streaming.stream_fit_exact(self, blocks,
+                                          block_rows=block_rows)
+
+    def transform_batched(self, blocks, *, block_rows: int | None = None):
+        """Project a stream block-by-block; returns the stacked (n, k)
+        host array."""
+        from . import streaming
+
+        return streaming.transform_batched(self, blocks,
+                                           block_rows=block_rows)
+
     @staticmethod
     def _auto_prefers_gram(x) -> bool:
         """Since round 2 the direct path serves every f32 width: VMEM

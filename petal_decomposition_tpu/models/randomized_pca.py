@@ -224,6 +224,29 @@ class RandomizedPca:
             mesh=self._mesh,
         )
 
+    def fit_batched(self, blocks,
+                    *, block_rows: int | None = None) -> "RandomizedPca":
+        """Out-of-core randomized fit from a stream of row blocks (or
+        one 2-D array-like sliced host-side, e.g. an ``np.memmap``):
+        one pass accumulates the d×d Gram + moments, then the Gram
+        range finder's subspace iteration + Rayleigh–Ritz extraction
+        run on the accumulated operator — data larger than HBM fits on
+        one chip.  Consumes the next PRNG subkey like ``fit``.  No
+        reference analogue; accuracy/sign contract in
+        :mod:`.streaming`.  Returns ``self``."""
+        from . import streaming
+
+        return streaming.stream_fit_randomized(self, blocks,
+                                               block_rows=block_rows)
+
+    def transform_batched(self, blocks, *, block_rows: int | None = None):
+        """Project a stream block-by-block; returns the stacked (n, k)
+        host array."""
+        from . import streaming
+
+        return streaming.transform_batched(self, blocks,
+                                           block_rows=block_rows)
+
     def _inner_fit(self, x):
         # Complex fits on an accelerator run host-side (the
         # reference's c32/c64 support is CPU LAPACK; complex XLA:TPU

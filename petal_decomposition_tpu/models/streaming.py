@@ -1,0 +1,447 @@
+"""Out-of-core (streamed) fits: data larger than device memory.
+
+The reference requires the whole n×d matrix materialized in host RAM
+before any fit starts (``inner_fit`` takes a full ``ArrayBase``,
+pca.rs:195-231, 509-550) — its scaling ceiling is one machine's memory.
+On TPU the binding resource is chip HBM (~16 GB on v5e): a 10M×4096 f32
+matrix is 160 GB and can never reside on the device at once.  The
+TPU-native answer is a single-pass streamed fit: row blocks flow
+host→device (the next block's DMA overlaps the current block's matmul
+via JAX async dispatch), and the chip accumulates exactly what every
+Gram-path fit consumes — the d×d Gram, the column sums, and ‖X‖²_F.
+Nothing larger than ``block_rows × d`` plus d×d ever exists in HBM, so
+the fittable n is unbounded.
+
+Numerical contract (single pass, shifted accumulation):
+
+* The Gram is accumulated about a provisional shift μ̂ (the first
+  block's column mean), so the final rank-1 re-centering subtracts
+  ``n·δδᵀ`` with ``δ = μ − μ̂ ≈ 0`` instead of ``n·μμᵀ`` — the
+  catastrophic-cancellation mode of naive uncentered accumulation
+  (the reason the in-core paths carry mean-domination guards,
+  ``distributed._GRAM_GUARD_RMAX``) is structurally avoided for
+  statistically stationary streams.  The residual shift ratio
+  ``r = n·‖δ‖² / tr(Gc)`` is reported in
+  ``last_fit_stats_.extra["mean_shift_ratio"]``; r ≪ 1 certifies the
+  cancellation-free regime.
+* Cross-block accumulation runs in float64 (the per-block d×d add is
+  trivially cheap next to the block matmul), so accumulation error is
+  independent of the number of blocks; the factorization then runs at
+  the data dtype.
+* Singular values are read off the Gram (σ = √λ), squaring the
+  condition number: f64 streams keep ~1e-9-grade σ, f32 streams are
+  Gram-grade (~1e-5·κ(X)² relative).  This matches the accuracy
+  contract of the in-core ``solver="gram"`` path.
+* Sign convention: with no thin-U available (U would be n×k for an
+  unbounded n), components are sign-fixed by their own largest-|·|
+  entry (first occurrence wins ties, made positive) instead of the
+  U-based ``svd_flip`` (pca.rs:815-850).  Documented deviation:
+  streamed and in-core fits may differ by a per-component ±1.
+
+FastICA has no streamed fit: every ``ica_par`` iteration re-reads the
+whole whitened matrix (ica.rs:331-359), so an out-of-core ICA would
+re-stream the full dataset up to ``max_iter`` times — an algorithmic
+non-starter, not an implementation gap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..errors import InvalidInput
+from ..ops import linalg as _linalg
+from ..ops.linalg import eigh_psd_jit_cert, mdot
+
+__all__ = [
+    "accumulate_moments",
+    "exact_pca_from_gram",
+    "randomized_pca_from_gram",
+    "StreamMoments",
+]
+
+# 64k rows keeps a d=4096 f32 block at 1 GB and a d=1024 one at 256 MB —
+# deep enough that the MXU matmul amortizes dispatch, small enough to
+# double-buffer comfortably in HBM.
+_DEFAULT_BLOCK_ROWS = 65536
+
+
+def _flip_components(vt):
+    """Deterministic per-component signs without U: the largest-|·|
+    entry of each component (first occurrence wins ties, mirroring the
+    reference's strict ``>`` scan) is made non-negative."""
+    idx = jnp.argmax(jnp.abs(vt), axis=1)
+    piv = jnp.take_along_axis(vt, idx[:, None], axis=1)[:, 0]
+    signs = jnp.where(piv < 0, -1, 1).astype(vt.dtype)
+    return vt * signs[:, None]
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("precision",))
+def _accum_step(carry, block, shift, n_valid, *, precision):
+    """One streamed block: masked shift, Gram + first/second moments.
+
+    ``carry`` (donated — the d×d accumulator is updated in place) holds
+    float64 ``(g, s, sq)``.  ``n_valid`` is a dynamic scalar: the final
+    partial block is zero-padded to the uniform block shape and masked
+    here, so the whole stream compiles exactly one step program.
+    """
+    g, s, sq = carry
+    rows = (jnp.arange(block.shape[0]) < n_valid)[:, None]
+    xb = jnp.where(rows, block - shift.astype(block.dtype), 0)
+    g = g + jnp.dot(xb.T, xb, precision=precision).astype(g.dtype)
+    s = s + jnp.sum(xb, axis=0, dtype=s.dtype)
+    sq = sq + jnp.sum(
+        xb.astype(sq.dtype) * xb.astype(sq.dtype)
+    )
+    return g, s, sq
+
+
+@jax.jit
+def _finalize_centered(g, s, sq, shift, n):
+    """Re-center the shifted accumulators: means, centered Gram, total
+    variance, and the residual shift ratio r = n‖δ‖²/tr(Gc)."""
+    delta = s / n
+    means = shift + delta
+    gc = g - n * jnp.outer(delta, delta)
+    dsq = n * jnp.sum(delta * delta)
+    tv = jnp.maximum(sq - dsq, 0)
+    r = dsq / jnp.maximum(jnp.trace(gc), jnp.asarray(1e-300, gc.dtype))
+    return means, gc, tv, r
+
+
+class StreamMoments:
+    """Result of one accumulation pass over a stream."""
+
+    def __init__(self, means, gram, total_variance, shift_ratio,
+                 n_samples: int, n_blocks: int, dtype):
+        self.means = means  # (d,) data dtype
+        self.gram = gram  # (d, d) float64, centered when requested
+        self.total_variance = total_variance  # f64 scalar
+        self.shift_ratio = shift_ratio  # f64 scalar
+        self.n_samples = n_samples
+        self.n_blocks = n_blocks
+        self.dtype = dtype
+
+
+def _coerce_block(b, dtype):
+    b = np.asarray(b)
+    if b.ndim != 2:
+        raise InvalidInput(
+            f"expected 2-dimensional blocks, got {b.ndim}-d"
+        )
+    if dtype is None:
+        # First block decides the stream dtype (as_matrix rules:
+        # integers/bools promote to float64; complex is unsupported —
+        # streamed fits are accelerator-resident and the complex
+        # contract is host-redirect-only, see _common.complex_host_ctx).
+        if np.issubdtype(b.dtype, np.complexfloating):
+            raise InvalidInput(
+                "streamed fits support real dtypes only (complex fits "
+                "are host-redirected and in-core; DESIGN.md §2)"
+            )
+        dtype = (
+            np.dtype(np.float64)
+            if not np.issubdtype(b.dtype, np.floating)
+            else b.dtype
+        )
+    return b.astype(dtype, copy=False), dtype
+
+
+def _iter_input_blocks(data):
+    """A 2-D array(-like) streams as host-side row-slice views (this is
+    what makes ``fit_batched(np.memmap(...))`` work); anything else is
+    iterated as user-provided blocks."""
+    if hasattr(data, "ndim") and getattr(data, "ndim", None) == 2:
+        n = data.shape[0]
+        step = _DEFAULT_BLOCK_ROWS
+        for i in range(0, max(n, 1), step):
+            yield data[i : i + step]
+        return
+    yield from data
+
+
+def _uniform_chunks(blocks, block_rows: int, dtype_hint=None):
+    """Re-buffer arbitrary-size input blocks into uniform
+    ``block_rows``-row chunks (the final one zero-padded), so the whole
+    stream hits ONE compiled step.  Yields ``(chunk, n_valid)``."""
+    buf: list[np.ndarray] = []
+    have = 0
+    dtype = dtype_hint
+    d = None
+    for b in blocks:
+        b, dtype = _coerce_block(b, dtype)
+        if d is None:
+            d = b.shape[1]
+        elif b.shape[1] != d:
+            raise InvalidInput(
+                f"inconsistent block widths: expected {d}, got {b.shape[1]}"
+            )
+        if b.shape[0] == 0:
+            continue
+        buf.append(b)
+        have += b.shape[0]
+        while have >= block_rows:
+            joined = buf[0] if len(buf) == 1 else np.concatenate(buf)
+            yield joined[:block_rows], block_rows
+            rest = joined[block_rows:]
+            buf = [rest] if rest.shape[0] else []
+            have = rest.shape[0]
+    if have:
+        joined = buf[0] if len(buf) == 1 else np.concatenate(buf)
+        pad = np.zeros((block_rows - have, joined.shape[1]), joined.dtype)
+        yield np.concatenate([joined, pad]), have
+
+
+def accumulate_moments(blocks, *, centering: bool = True,
+                       block_rows: int | None = None,
+                       precision: str = "highest",
+                       mesh=None) -> StreamMoments:
+    """One streamed pass: (centered) Gram + moments of the whole stream.
+
+    ``blocks`` is an iterable of 2-D row blocks (numpy arrays, lists, or
+    anything ``np.asarray`` accepts — e.g. batches read from disk), or a
+    single 2-D array-like sliced host-side (``np.memmap`` streams from
+    disk without ever materializing in RAM).  With ``mesh``, every chunk
+    is row-sharded across the (single-process) mesh and the accumulators
+    replicate — the reductions compile to local matmuls + one psum, the
+    same GSPMD mapping as the in-core sharded fits.
+    """
+    if mesh is not None and jax.process_count() > 1:
+        raise InvalidInput(
+            "streamed fits support single-process meshes only "
+            "(multi-host streams would need per-process block feeds)"
+        )
+    if block_rows is None:
+        block_rows = _DEFAULT_BLOCK_ROWS
+    if mesh is not None:
+        n_dev = mesh.size
+        block_rows = max(-(-block_rows // n_dev) * n_dev, n_dev)
+    if block_rows <= 0:
+        raise InvalidInput("block_rows must be positive")
+    blocks = _iter_input_blocks(blocks)
+
+    if mesh is not None:
+        from ..parallel.mesh import replicated_sharding, row_sharding
+
+        put_block = partial(
+            jax.device_put, device=row_sharding(mesh)
+        )
+        put_repl = partial(
+            jax.device_put, device=replicated_sharding(mesh)
+        )
+    else:
+        put_block = jax.device_put
+        put_repl = jax.device_put
+
+    carry = None
+    shift_dev = None
+    n = 0
+    n_blocks = 0
+    d = None
+    dtype = None
+    pending = None  # (device_chunk, n_valid) — one-chunk prefetch
+    for chunk, n_valid in _uniform_chunks(blocks, block_rows):
+        if carry is None:
+            d = chunk.shape[1]
+            dtype = chunk.dtype
+            # Provisional shift: the first chunk's column mean.  Any
+            # shift works (the finalize re-centers exactly); a
+            # representative one is what kills the cancellation.
+            shift = (
+                chunk[:n_valid].mean(axis=0, dtype=np.float64)
+                if centering
+                else np.zeros((d,), np.float64)
+            )
+            shift_dev = put_repl(shift)
+            carry = (
+                put_repl(np.zeros((d, d), np.float64)),
+                put_repl(np.zeros((d,), np.float64)),
+                put_repl(np.zeros((), np.float64)),
+            )
+        dev = put_block(chunk)  # async H2D: overlaps the running step
+        if pending is not None:
+            carry = _accum_step(
+                carry, pending[0], shift_dev, pending[1],
+                precision=precision,
+            )
+        pending = (dev, n_valid)
+        n += n_valid
+        n_blocks += 1
+    if pending is not None:
+        carry = _accum_step(
+            carry, pending[0], shift_dev, pending[1], precision=precision
+        )
+    if carry is None:
+        raise InvalidInput("empty stream: no data blocks")
+
+    g, s, sq = carry
+    if centering:
+        means64, gc, tv, r = _finalize_centered(
+            g, s, sq, shift_dev, float(n)
+        )
+        means = means64.astype(dtype)
+    else:
+        means = jnp.zeros((d,), dtype)
+        gc, tv = g, sq
+        r = jnp.zeros((), jnp.float64)
+    return StreamMoments(
+        means, gc, tv, r, n_samples=n, n_blocks=n_blocks,
+        dtype=jnp.dtype(dtype),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _exact_solve(gc, cfg=None):
+    lam, v, off = eigh_psd_jit_cert(gc)  # ascending
+    sigma = jnp.sqrt(jnp.maximum(lam[::-1], 0))
+    vt = _flip_components(v[:, ::-1].T)
+    return sigma, vt, off
+
+
+def exact_pca_from_gram(m: StreamMoments):
+    """Exact-PCA factors from accumulated moments: ``(sigma, vt, off)``
+    descending, at the stream dtype (the covariance eigenproblem of
+    ``pca_fit_gram`` without the data-dependent thin-U)."""
+    return _exact_solve(m.gram.astype(m.dtype), cfg=config.cache_key())
+
+
+@partial(jax.jit, static_argnames=("n_power_iters", "cfg"))
+def _randomized_solve(gc, omega, *, n_power_iters: int, cfg=None):
+    from ..parallel.distributed import _gram_subspace
+
+    # Orthonormalize the sketch up front so the Rayleigh–Ritz extraction
+    # is valid even at n_power_iters=0 (``_gram_subspace`` re-QRs after
+    # every G application).
+    w = jnp.linalg.qr(omega, mode="reduced")[0]
+    w = _gram_subspace(gc, w, n_power_iters)
+    ritz = mdot(w.T, mdot(gc, w))
+    ritz = (ritz + ritz.T) / 2
+    lam, z, off = eigh_psd_jit_cert(ritz)  # ascending, (l, l)
+    sigma = jnp.sqrt(jnp.maximum(lam[::-1], 0))
+    vt = _flip_components(mdot(w, z[:, ::-1]).T)
+    return sigma, vt, off
+
+
+def randomized_pca_from_gram(m: StreamMoments, key, *, n_components: int,
+                             n_oversamples: int, n_power_iters: int):
+    """Randomized factors from accumulated moments: the Gram range
+    finder's subspace iteration (``distributed._gram_subspace``) plus a
+    Rayleigh–Ritz extraction *on the Gram itself* — the exact-recovery
+    projection of the in-core path (``B = QᵀX``) needs a second data
+    pass, which a single-pass stream by definition does not have.
+    Returns ``(sigma, vt, off)`` with ``l`` components."""
+    from ..utils import rng as rng_util
+
+    d = m.gram.shape[0]
+    l = min(n_components + n_oversamples, m.n_samples, d)
+    omega = rng_util.normal(key, (d, l), m.dtype)
+    return _randomized_solve(
+        m.gram.astype(m.dtype), omega,
+        n_power_iters=n_power_iters, cfg=config.cache_key(),
+    )
+
+
+def stream_fit_exact(model, blocks, *, block_rows: int | None = None):
+    """Shared implementation of ``Pca.fit_batched``."""
+    import time
+
+    from ..utils.profiling import FitStats
+
+    t0 = time.perf_counter()
+    k = model._n_components
+    m = accumulate_moments(
+        blocks, centering=model._centering, block_rows=block_rows,
+        mesh=model._mesh,
+    )
+    _check_stream_dims(m, k)
+    sigma, vt, off = exact_pca_from_gram(m)
+    # Certificate before mutation: a failed refit must leave a
+    # previously fitted model untouched.
+    _linalg.check_certificate(
+        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
+    )
+    k_full = min(m.n_samples, m.gram.shape[0])
+    _install_state(model, m, sigma[:k_full], vt, k)
+    _install_stats(model, m, t0, FitStats)
+    return model
+
+
+def stream_fit_randomized(model, blocks, *, block_rows: int | None = None):
+    """Shared implementation of ``RandomizedPca.fit_batched``."""
+    import time
+
+    from ..utils.profiling import FitStats
+
+    t0 = time.perf_counter()
+    k = model._n_components
+    m = accumulate_moments(
+        blocks, centering=model._centering, block_rows=block_rows,
+        mesh=model._mesh,
+    )
+    _check_stream_dims(m, k)
+    # Same stateful-RNG contract as fit(): successive fits consume
+    # successive subkeys (ref: the PCG advances across fits).
+    model._key, subkey = jax.random.split(model._key)
+    sigma, vt, off = randomized_pca_from_gram(
+        m, subkey, n_components=k,
+        n_oversamples=model._n_oversamples,
+        n_power_iters=model._n_power_iters,
+    )
+    _linalg.check_certificate(
+        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
+    )
+    _install_state(model, m, sigma, vt, k)
+    _install_stats(model, m, t0, FitStats)
+    return model
+
+
+def _check_stream_dims(m: StreamMoments, k: int) -> None:
+    """Every dimension must be at least n_components (pca.rs:199-204);
+    for a stream, n is known only after the pass."""
+    if m.gram.shape[0] < k or m.n_samples < k:
+        raise InvalidInput(f"every dimension should be at least {k}")
+
+
+def _install_state(model, m: StreamMoments, sigma, vt, k: int) -> None:
+    model._components = vt[:k, :]
+    model._means = m.means
+    model._singular = sigma[:k]
+    model._singular_full = sigma
+    model._total_variance = m.total_variance.astype(sigma.dtype)
+    model._n_samples = m.n_samples
+
+
+def _install_stats(model, m: StreamMoments, t0: float, FitStats) -> None:
+    import time
+
+    stats = FitStats(
+        wall_time_s=time.perf_counter() - t0,
+        n_samples=m.n_samples,
+        n_features=int(m.gram.shape[0]),
+    )
+    stats.extra["streamed_blocks"] = m.n_blocks
+    stats.extra["mean_shift_ratio"] = float(m.shift_ratio)
+    model.last_fit_stats_ = stats
+
+
+def transform_batched(model, blocks, *, block_rows: int | None = None):
+    """Project a stream block-by-block with the fitted model; returns
+    the stacked (n, k) host array.  Re-buffers to uniform chunks so the
+    projection compiles once."""
+    if block_rows is None:
+        block_rows = _DEFAULT_BLOCK_ROWS
+    outs = []
+    seen = False
+    for chunk, n_valid in _uniform_chunks(
+        _iter_input_blocks(blocks), block_rows
+    ):
+        seen = True
+        y = model.transform(chunk)
+        outs.append(np.asarray(y[:n_valid]))
+    if not seen:
+        raise InvalidInput("empty stream: no data blocks")
+    return np.concatenate(outs, axis=0)

@@ -1,0 +1,266 @@
+"""Out-of-core (streamed) fit tests.
+
+The reference has no streaming analogue (every fit takes the whole
+matrix, pca.rs:195-231); the contract tested here is the one stated in
+``models/streaming.py``: streamed == in-core Gram-path results up to
+the documented sign convention and Gram-grade accuracy, single-pass
+shifted accumulation survives mean-dominated data, and the stream API
+rejects malformed input with the reference's ``InvalidInput`` taxonomy.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import petal_decomposition_tpu as pdt
+from petal_decomposition_tpu.errors import InvalidInput, LinalgError
+from petal_decomposition_tpu.models import streaming
+
+
+def _data(n=5000, d=64, offset=3.0, dtype=np.float64, seed=0):
+    rng = np.random.default_rng(seed)
+    # A decaying spectrum so top components are well separated.
+    scales = np.linspace(3.0, 1.0, d)
+    return (rng.normal(size=(n, d)) * scales + offset).astype(dtype)
+
+
+def _align_signs(ref, other):
+    s = np.sign(np.sum(ref * other, axis=1))[:, None]
+    return other * s
+
+
+def test_exact_stream_matches_in_core_gram():
+    x = _data()
+    m_ic = pdt.Pca(5, solver="gram").fit(x)
+    m_st = pdt.Pca(5).fit_batched(
+        [x[:1700], x[1700:4100], x[4100:]], block_rows=1024
+    )
+    s_ic = np.asarray(m_ic.singular_values_)
+    s_st = np.asarray(m_st.singular_values_)
+    np.testing.assert_allclose(s_st, s_ic, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(m_st.mean_), np.asarray(m_ic.mean_), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m_st._total_variance), float(m_ic._total_variance),
+        rtol=1e-10,
+    )
+    c_ic = np.asarray(m_ic.components_)
+    c_st = _align_signs(c_ic, np.asarray(m_st.components_))
+    np.testing.assert_allclose(c_st, c_ic, atol=1e-8)
+    # explained_variance_ratio flows from sigma + total_variance.
+    np.testing.assert_allclose(
+        np.asarray(m_st.explained_variance_ratio()),
+        np.asarray(m_ic.explained_variance_ratio()),
+        rtol=1e-8,
+    )
+
+
+def test_stream_block_size_invariance():
+    x = _data(n=3000)
+    a = pdt.Pca(4).fit_batched(x, block_rows=256)
+    b = pdt.Pca(4).fit_batched(
+        (x[i : i + 999] for i in range(0, 3000, 999)), block_rows=1024
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.singular_values_),
+        np.asarray(b.singular_values_),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.mean_), np.asarray(b.mean_), atol=1e-10
+    )
+
+
+def test_stream_survives_mean_domination():
+    """The shifted accumulation is the whole point: a naive uncentered
+    Gram at offset 1000 would lose ~6 digits to cancellation."""
+    x = _data(n=4000, d=32, offset=1000.0)
+    m = pdt.Pca(4).fit_batched(x, block_rows=512)
+    # Oracle: explicit centering + SVD in numpy float64.
+    xc = x - x.mean(axis=0)
+    s_ref = np.linalg.svd(xc, compute_uv=False)[:4]
+    np.testing.assert_allclose(
+        np.asarray(m.singular_values_), s_ref, rtol=1e-9
+    )
+    assert m.last_fit_stats_.extra["mean_shift_ratio"] < 1e-2
+
+
+def test_stream_no_centering():
+    x = _data(n=2000, d=24, offset=2.0)
+    m_ic = pdt.Pca(3, centering=False, solver="gram").fit(x)
+    m_st = pdt.Pca(3, centering=False).fit_batched(x, block_rows=512)
+    np.testing.assert_allclose(
+        np.asarray(m_st.singular_values_),
+        np.asarray(m_ic.singular_values_),
+        rtol=1e-10,
+    )
+    assert np.all(np.asarray(m_st.mean_) == 0)
+
+
+def test_stream_f32_grade():
+    x64 = _data(n=4000, d=48)
+    s_ref = np.asarray(pdt.Pca(4).fit(x64).singular_values_)
+    m32 = pdt.Pca(4).fit_batched(x64.astype(np.float32), block_rows=512)
+    s32 = np.asarray(m32.singular_values_)
+    assert s32.dtype == np.float32
+    np.testing.assert_allclose(s32, s_ref, rtol=1e-4)
+
+
+def test_randomized_stream_matches_in_core_gram_finder():
+    x = _data()
+    ic = pdt.RandomizedPca(5, seed=42, range_finder="gram").fit(x)
+    st = pdt.RandomizedPca(5, seed=42).fit_batched(x, block_rows=1024)
+    s_ic = np.asarray(ic.singular_values_)
+    s_st = np.asarray(st.singular_values_)
+    # Same seed → same sketch → same subspace; recovery differs
+    # (Rayleigh–Ritz on G vs exact projection), so the band is the
+    # subspace-quality one, far inside the 5% statistical contract.
+    np.testing.assert_allclose(s_st, s_ic, rtol=0.02)
+    # And the 5%-band randomized-vs-exact contract (pca.rs:989-1027
+    # pattern) holds for the streamed path too.
+    s_ex = np.asarray(pdt.Pca(5).fit(x).singular_values_)
+    np.testing.assert_allclose(s_st, s_ex, rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(st.explained_variance_ratio()),
+        np.asarray(ic.explained_variance_ratio()),
+        rtol=0.05,
+    )
+
+
+def test_randomized_stream_advances_key():
+    x = _data(n=1000, d=16)
+    m = pdt.RandomizedPca(3, seed=7)
+    k0 = np.asarray(jax.random.key_data(m._key))
+    m.fit_batched(x, block_rows=256)
+    k1 = np.asarray(jax.random.key_data(m._key))
+    assert not np.array_equal(k0, k1)
+    # Refit continues the stream (stateful-RNG contract, like fit()).
+    m.fit_batched(x, block_rows=256)
+    assert not np.array_equal(k1, np.asarray(jax.random.key_data(m._key)))
+
+
+def test_stream_on_mesh_matches_single_device():
+    from petal_decomposition_tpu.parallel.mesh import make_mesh
+
+    x = _data(n=2048, d=32)
+    mesh = make_mesh(8)
+    single = pdt.Pca(4).fit_batched(x, block_rows=512)
+    meshed = pdt.PcaBuilder(4).mesh(mesh).build().fit_batched(
+        x, block_rows=512
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.singular_values_),
+        np.asarray(single.singular_values_),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(meshed.mean_), np.asarray(single.mean_), atol=1e-12
+    )
+    r = pdt.RandomizedPcaBuilder(4).seed(3).mesh(mesh).build()
+    r.fit_batched(x, block_rows=512)
+    r1 = pdt.RandomizedPca(4, seed=3).fit_batched(x, block_rows=512)
+    np.testing.assert_allclose(
+        np.asarray(r.singular_values_),
+        np.asarray(r1.singular_values_),
+        rtol=1e-12,
+    )
+
+
+def test_transform_batched_matches_transform():
+    x = _data(n=3000, d=40)
+    m = pdt.Pca(6).fit_batched(x, block_rows=512)
+    y_ref = np.asarray(m.transform(x))
+    y_st = m.transform_batched(
+        [x[:1234], x[1234:1234], x[1234:]], block_rows=700
+    )
+    np.testing.assert_allclose(y_st, y_ref, atol=1e-10)
+    r = pdt.RandomizedPca(6, seed=1).fit_batched(x)
+    np.testing.assert_allclose(
+        r.transform_batched(x, block_rows=999),
+        np.asarray(r.transform(x)),
+        atol=1e-10,
+    )
+
+
+def test_streamed_model_serializes():
+    x = _data(n=1500, d=24)
+    m = pdt.Pca(3).fit_batched(x, block_rows=512)
+    from petal_decomposition_tpu.utils.serialize import from_bytes, to_bytes
+    m2 = from_bytes(to_bytes(m))
+    np.testing.assert_allclose(
+        np.asarray(m2.transform(x[:7])), np.asarray(m.transform(x[:7]))
+    )
+
+
+def test_stream_int_input_promotes():
+    x = np.arange(600, dtype=np.int64).reshape(100, 6) % 17
+    m = pdt.Pca(2).fit_batched([x[:60], x[60:]], block_rows=64)
+    assert np.asarray(m.singular_values_).dtype == np.float64
+
+
+def test_stream_errors():
+    x = _data(n=100, d=8)
+    with pytest.raises(InvalidInput):
+        pdt.Pca(2).fit_batched([])
+    with pytest.raises(InvalidInput):
+        pdt.Pca(2).fit_batched([x[:0]])  # rows exist but all empty
+    with pytest.raises(InvalidInput):
+        pdt.Pca(2).fit_batched([x[:10, :5], x[:10, :6]])
+    with pytest.raises(InvalidInput):
+        pdt.Pca(5).fit_batched([x[:3]])  # n < k
+    with pytest.raises(InvalidInput):
+        pdt.Pca(2).fit_batched([x.astype(np.complex128)])
+    with pytest.raises(InvalidInput):
+        pdt.Pca(2).fit_batched(x, block_rows=0)
+    with pytest.raises(InvalidInput):
+        pdt.Pca(2).fit_batched([x[None]])  # 3-d block
+    with pytest.raises(InvalidInput):
+        pdt.Pca(2).transform_batched(x[:5])  # not fitted
+    with pytest.raises(InvalidInput):
+        pdt.RandomizedPca(2).fit_batched(iter([]))
+
+
+def test_stream_failed_refit_preserves_state(monkeypatch):
+    x = _data(n=400, d=16)
+    m = pdt.Pca(3).fit_batched(x, block_rows=128)
+    sig = np.asarray(m.singular_values_).copy()
+
+    def boom(off, dtype, dim, what):
+        raise LinalgError(f"{what} did not converge")
+
+    monkeypatch.setattr(
+        "petal_decomposition_tpu.models.streaming._linalg"
+        ".check_certificate",
+        boom,
+    )
+    with pytest.raises(LinalgError):
+        m.fit_batched(x, block_rows=128)
+    np.testing.assert_array_equal(np.asarray(m.singular_values_), sig)
+
+
+def test_stream_stats_recorded():
+    x = _data(n=1000, d=16)
+    m = pdt.Pca(2).fit_batched(x, block_rows=256)
+    st = m.last_fit_stats_
+    assert st.n_samples == 1000 and st.n_features == 16
+    assert st.extra["streamed_blocks"] == 4
+    assert st.extra["mean_shift_ratio"] >= 0
+    assert st.wall_time_s > 0
+
+
+def test_stream_sign_convention_deterministic():
+    x = _data(n=800, d=12)
+    vt = np.asarray(pdt.Pca(3).fit_batched(x).components_)
+    # Each component's largest-|entry| is positive.
+    piv = vt[np.arange(3), np.argmax(np.abs(vt), axis=1)]
+    assert np.all(piv > 0)
+
+
+def test_uniform_chunks_padding():
+    blocks = [np.ones((3, 2)), np.ones((4, 2)), np.ones((2, 2))]
+    chunks = list(streaming._uniform_chunks(iter(blocks), 4))
+    assert [c[1] for c in chunks] == [4, 4, 1]
+    assert all(c[0].shape == (4, 2) for c in chunks)
+    # Padded tail rows are zero.
+    assert np.all(chunks[-1][0][1:] == 0)
