@@ -6,15 +6,8 @@ Run: JAX_PLATFORMS=cpu python examples/unmix_signals.py
 
 import numpy as np
 
-import os
-
 import petal_decomposition_tpu  # noqa: F401  (x64 + cache config at import)
 import jax
-
-if os.environ.get("JAX_PLATFORMS"):
-    # The remote-TPU (axon) plugin ignores the env var; honor it here so
-    # the documented `JAX_PLATFORMS=cpu python examples/...` works.
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 from petal_decomposition_tpu import FastIcaBuilder, RandomizedPcaBuilder

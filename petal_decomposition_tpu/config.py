@@ -92,6 +92,31 @@ if not os.environ.get("PETAL_TPU_NO_X64"):
     enable_x64()
 
 
+def _honor_platform_env() -> None:
+    """Restore JAX's documented ``JAX_PLATFORMS`` semantics: some
+    out-of-tree plugins (the remote-TPU ``axon`` one among them)
+    register themselves regardless of the env var, so
+    ``JAX_PLATFORMS=cpu python script.py`` silently — or, during a
+    relay outage, hangingly — still initializes the remote backend
+    (the plugin's sitecustomize sets the ``jax_platforms`` config flag
+    directly, clobbering the env var).  The env var is JAX's documented
+    user override, so it wins unconditionally here; set it (or call
+    ``jax.config.update`` after import) to choose differently."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    import jax
+
+    try:
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+    except AttributeError:  # very old jax
+        pass
+
+
+_honor_platform_env()
+
+
 def _cpu_flags() -> str:
     """Stable fingerprint of the host CPU's ISA extensions (Linux); an
     empty string elsewhere — the machine/processor fields still salt."""
@@ -129,7 +154,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         # SIGILL") — observed when a shared home directory crossed an
         # AMX-capable and a non-AMX host.  TPU executables are serialized
         # per accelerator target and unaffected; the salt merely splits
-        # the directory per host flavor.
+        # the directory per host flavor.  (A load-time warning naming
+        # only "+prefer-no-scatter/+prefer-no-gather" is a same-machine
+        # false positive: those are XLA compile-option pseudo-features
+        # that LLVM host detection never reports, so every AOT entry
+        # "mismatches" on them even where it was written.)
         import hashlib
         import platform
 

@@ -133,44 +133,63 @@ def _coerce_block(b, dtype):
         raise InvalidInput(
             f"expected 2-dimensional blocks, got {b.ndim}-d"
         )
+    if np.issubdtype(b.dtype, np.complexfloating):
+        raise InvalidInput(
+            "streamed fits support real dtypes only (complex fits "
+            "are host-redirected and in-core; DESIGN.md §2)"
+        )
     if dtype is None:
         # First block decides the stream dtype (as_matrix rules:
-        # integers/bools promote to float64; complex is unsupported —
-        # streamed fits are accelerator-resident and the complex
-        # contract is host-redirect-only, see _common.complex_host_ctx).
-        if np.issubdtype(b.dtype, np.complexfloating):
-            raise InvalidInput(
-                "streamed fits support real dtypes only (complex fits "
-                "are host-redirected and in-core; DESIGN.md §2)"
-            )
+        # integers/bools promote to float64).
         dtype = (
             np.dtype(np.float64)
             if not np.issubdtype(b.dtype, np.floating)
             else b.dtype
         )
+    elif b.dtype != dtype and not np.can_cast(b.dtype, dtype,
+                                              casting="safe"):
+        # A single-pass stream cannot re-promote what it already
+        # consumed (the in-core fit sees all data at once and uses
+        # result_type); silently downcasting f64 blocks into an f32
+        # stream would void the accuracy contract, so reject.
+        raise InvalidInput(
+            f"block dtype {b.dtype} does not safely cast to the "
+            f"stream dtype {np.dtype(dtype)} (fixed by the first "
+            "block); cast the stream to one dtype up front"
+        )
     return b.astype(dtype, copy=False), dtype
 
 
-def _iter_input_blocks(data):
-    """A 2-D array(-like) streams as host-side row-slice views (this is
-    what makes ``fit_batched(np.memmap(...))`` work); anything else is
-    iterated as user-provided blocks."""
+def _check_block_rows(block_rows: int) -> None:
+    if block_rows <= 0:
+        raise InvalidInput("block_rows must be positive")
+
+
+def _iter_input_blocks(data, step: int):
+    """A 2-D array(-like) streams as host-side row-slice views at the
+    resolved chunk size — slices flow copy-free through the
+    re-buffering (this is what makes ``fit_batched(np.memmap(...))``
+    stream from disk without materializing in host RAM); anything else
+    is iterated as user-provided blocks."""
     if hasattr(data, "ndim") and getattr(data, "ndim", None) == 2:
         n = data.shape[0]
-        step = _DEFAULT_BLOCK_ROWS
         for i in range(0, max(n, 1), step):
             yield data[i : i + step]
         return
     yield from data
 
 
-def _uniform_chunks(blocks, block_rows: int, dtype_hint=None):
+def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True):
     """Re-buffer arbitrary-size input blocks into uniform
-    ``block_rows``-row chunks (the final one zero-padded), so the whole
-    stream hits ONE compiled step.  Yields ``(chunk, n_valid)``."""
+    ``block_rows``-row chunks, so the whole stream hits ONE compiled
+    step.  Yields ``(chunk, n_valid)``; the final partial chunk is
+    zero-padded to the uniform shape when ``pad_tail`` (the
+    accumulation path masks it), or yielded at its true size otherwise
+    (the transform path has no one-program constraint)."""
+    _check_block_rows(block_rows)
     buf: list[np.ndarray] = []
     have = 0
-    dtype = dtype_hint
+    dtype = None
     d = None
     for b in blocks:
         b, dtype = _coerce_block(b, dtype)
@@ -192,6 +211,9 @@ def _uniform_chunks(blocks, block_rows: int, dtype_hint=None):
             have = rest.shape[0]
     if have:
         joined = buf[0] if len(buf) == 1 else np.concatenate(buf)
+        if not pad_tail:
+            yield joined, have
+            return
         pad = np.zeros((block_rows - have, joined.shape[1]), joined.dtype)
         yield np.concatenate([joined, pad]), have
 
@@ -217,12 +239,11 @@ def accumulate_moments(blocks, *, centering: bool = True,
         )
     if block_rows is None:
         block_rows = _DEFAULT_BLOCK_ROWS
+    _check_block_rows(block_rows)
     if mesh is not None:
         n_dev = mesh.size
-        block_rows = max(-(-block_rows // n_dev) * n_dev, n_dev)
-    if block_rows <= 0:
-        raise InvalidInput("block_rows must be positive")
-    blocks = _iter_input_blocks(blocks)
+        block_rows = -(-block_rows // n_dev) * n_dev
+    blocks = _iter_input_blocks(blocks, block_rows)
 
     if mesh is not None:
         from ..parallel.mesh import replicated_sharding, row_sharding
@@ -294,6 +315,25 @@ def accumulate_moments(blocks, *, centering: bool = True,
     )
 
 
+def _solve_ctx(dtype, mesh):
+    """Eager setup every factorization trace needs (mirrors the in-core
+    fit paths, pca.py:227-248): the VMEM-kernel availability probes must
+    run before tracing (the tracer branch of ``eigh_psd_jit_cert``
+    consults them), mesh traces must replicate ``pallas_call`` via
+    ``shard_map`` (a bare kernel has no GSPMD partitioning rule), and
+    the mesh joins the jit cache key so mesh and single-device traces
+    never alias."""
+    import contextlib
+
+    from ..ops.jacobi import warm_kernel_probes
+    from ..ops.pallas.replication import replicated_kernel_mesh
+
+    warm_kernel_probes(dtype)
+    if mesh is not None:
+        return replicated_kernel_mesh(mesh), (mesh,)
+    return contextlib.nullcontext(), ()
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _exact_solve(gc, cfg=None):
     lam, v, off = eigh_psd_jit_cert(gc)  # ascending
@@ -302,11 +342,15 @@ def _exact_solve(gc, cfg=None):
     return sigma, vt, off
 
 
-def exact_pca_from_gram(m: StreamMoments):
+def exact_pca_from_gram(m: StreamMoments, mesh=None):
     """Exact-PCA factors from accumulated moments: ``(sigma, vt, off)``
     descending, at the stream dtype (the covariance eigenproblem of
     ``pca_fit_gram`` without the data-dependent thin-U)."""
-    return _exact_solve(m.gram.astype(m.dtype), cfg=config.cache_key())
+    ctx, suffix = _solve_ctx(m.dtype, mesh)
+    with ctx:
+        return _exact_solve(
+            m.gram.astype(m.dtype), cfg=config.cache_key() + suffix
+        )
 
 
 @partial(jax.jit, static_argnames=("n_power_iters", "cfg"))
@@ -327,7 +371,8 @@ def _randomized_solve(gc, omega, *, n_power_iters: int, cfg=None):
 
 
 def randomized_pca_from_gram(m: StreamMoments, key, *, n_components: int,
-                             n_oversamples: int, n_power_iters: int):
+                             n_oversamples: int, n_power_iters: int,
+                             mesh=None):
     """Randomized factors from accumulated moments: the Gram range
     finder's subspace iteration (``distributed._gram_subspace``) plus a
     Rayleigh–Ritz extraction *on the Gram itself* — the exact-recovery
@@ -339,10 +384,12 @@ def randomized_pca_from_gram(m: StreamMoments, key, *, n_components: int,
     d = m.gram.shape[0]
     l = min(n_components + n_oversamples, m.n_samples, d)
     omega = rng_util.normal(key, (d, l), m.dtype)
-    return _randomized_solve(
-        m.gram.astype(m.dtype), omega,
-        n_power_iters=n_power_iters, cfg=config.cache_key(),
-    )
+    ctx, suffix = _solve_ctx(m.dtype, mesh)
+    with ctx:
+        return _randomized_solve(
+            m.gram.astype(m.dtype), omega,
+            n_power_iters=n_power_iters, cfg=config.cache_key() + suffix,
+        )
 
 
 def stream_fit_exact(model, blocks, *, block_rows: int | None = None):
@@ -358,7 +405,7 @@ def stream_fit_exact(model, blocks, *, block_rows: int | None = None):
         mesh=model._mesh,
     )
     _check_stream_dims(m, k)
-    sigma, vt, off = exact_pca_from_gram(m)
+    sigma, vt, off = exact_pca_from_gram(m, mesh=model._mesh)
     # Certificate before mutation: a failed refit must leave a
     # previously fitted model untouched.
     _linalg.check_certificate(
@@ -390,6 +437,7 @@ def stream_fit_randomized(model, blocks, *, block_rows: int | None = None):
         m, subkey, n_components=k,
         n_oversamples=model._n_oversamples,
         n_power_iters=model._n_power_iters,
+        mesh=model._mesh,
     )
     _linalg.check_certificate(
         off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
@@ -434,10 +482,12 @@ def transform_batched(model, blocks, *, block_rows: int | None = None):
     projection compiles once."""
     if block_rows is None:
         block_rows = _DEFAULT_BLOCK_ROWS
+    _check_block_rows(block_rows)
     outs = []
     seen = False
     for chunk, n_valid in _uniform_chunks(
-        _iter_input_blocks(blocks), block_rows
+        _iter_input_blocks(blocks, block_rows), block_rows,
+        pad_tail=False,
     ):
         seen = True
         y = model.transform(chunk)

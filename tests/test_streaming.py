@@ -221,6 +221,61 @@ def test_stream_errors():
         pdt.RandomizedPca(2).fit_batched(iter([]))
 
 
+def test_stream_block_rows_validation_everywhere():
+    from petal_decomposition_tpu.parallel.mesh import make_mesh
+
+    x = _data(n=64, d=8)
+    fitted = pdt.Pca(2).fit_batched(x, block_rows=32)
+    with pytest.raises(InvalidInput):
+        fitted.transform_batched(x, block_rows=0)
+    with pytest.raises(InvalidInput):
+        fitted.transform_batched(x, block_rows=-3)
+    mesh = make_mesh(8)
+    with pytest.raises(InvalidInput):
+        pdt.PcaBuilder(2).mesh(mesh).build().fit_batched(x, block_rows=0)
+    with pytest.raises(InvalidInput):
+        pdt.PcaBuilder(2).mesh(mesh).build().fit_batched(x, block_rows=-7)
+
+
+def test_stream_mixed_dtype_contract():
+    x64 = _data(n=200, d=8)
+    x32 = x64.astype(np.float32)
+    # Lossy downcast into the stream dtype is rejected...
+    with pytest.raises(InvalidInput):
+        pdt.Pca(2).fit_batched([x32[:100], x64[100:]], block_rows=64)
+    # ...safe upcasts are accepted (f32 and int blocks into an f64
+    # stream).
+    m = pdt.Pca(2).fit_batched(
+        [x64[:80], x32[80:160], (x64[160:] * 0 + 3).astype(np.int64)],
+        block_rows=64,
+    )
+    assert np.asarray(m.singular_values_).dtype == np.float64
+
+
+def test_transform_batched_tail_not_padded():
+    """The transform path has no one-program constraint; a small input
+    must not be padded to a full default block (65536 rows)."""
+    from petal_decomposition_tpu.models import streaming
+
+    x = _data(n=100, d=8)
+    m = pdt.Pca(2).fit_batched(x, block_rows=64)
+    shapes = []
+    orig = streaming._uniform_chunks
+
+    def spy(blocks, block_rows, **kw):
+        for chunk, n_valid in orig(blocks, block_rows, **kw):
+            shapes.append(chunk.shape)
+            yield chunk, n_valid
+
+    try:
+        streaming._uniform_chunks = spy
+        y = m.transform_batched(x)  # default block_rows = 65536
+    finally:
+        streaming._uniform_chunks = orig
+    assert shapes == [(100, 8)]
+    np.testing.assert_allclose(y, np.asarray(m.transform(x)), atol=1e-10)
+
+
 def test_stream_failed_refit_preserves_state(monkeypatch):
     x = _data(n=400, d=16)
     m = pdt.Pca(3).fit_batched(x, block_rows=128)
