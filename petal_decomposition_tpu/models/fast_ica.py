@@ -316,7 +316,8 @@ class FastIca:
 
     def __init__(self, *, seed: int | None = None, key=None,
                  fun: str = "logcosh", tol: float = 1e-4,
-                 max_iter: int = 200, whiten_solver: str = "auto",
+                 max_iter: int = 200, whiten: bool = True,
+                 whiten_solver: str = "auto",
                  mesh=None, n_components: int | None = None,
                  decorrelation: str = "auto",
                  iteration_precision: str = "auto"):
@@ -324,6 +325,18 @@ class FastIca:
             raise ValueError(f"unknown contrast function {fun!r}")
         if whiten_solver not in ("auto", "svd", "eigh"):
             raise ValueError(f"unknown whiten solver {whiten_solver!r}")
+        # ``whiten=False`` (SURVEY §5's promoted parameter; sklearn
+        # semantics): the caller certifies the data is already centered
+        # and whitened — the fit skips centering + whitening entirely,
+        # runs ``ica_par`` on Xᵀ as-is, and ``components_`` IS the
+        # unmixing W.  The square d×d W leaves no room for a separate
+        # n_components.
+        self._whiten = bool(whiten)
+        if not self._whiten and n_components is not None:
+            raise InvalidInput(
+                "n_components requires whiten=True (whiten=False fits "
+                "the square unmixing W over all features)"
+            )
         if decorrelation not in ("auto", "eigh", "ns"):
             raise ValueError(f"unknown decorrelation {decorrelation!r}")
         if iteration_precision not in ("auto", "f32", "full"):
@@ -430,6 +443,8 @@ class FastIca:
         """ref: ica.rs:167-221.  Returns the centered, transposed data
         (d × n), as the reference does."""
         n, d = x.shape
+        if not self._whiten and n > 0 and d > 0:
+            return self._fit_no_whiten(x)
         # Reference default: k = min(n, d), not user-settable (ica.rs:173).
         k = min(n, d)
         if self._n_components is not None:
@@ -533,6 +548,59 @@ class FastIca:
         return xt
 
 
+    def _fit_no_whiten(self, x):
+        """``whiten=False``: the data is certified pre-centered and
+        pre-whitened — ``ica_par`` runs directly on Xᵀ (sklearn
+        semantics; no reference analogue, its whitening is hardwired at
+        ica.rs:173-208).  ``components_`` is the square unmixing W and
+        the stored means are zero, so ``transform`` is ``x·Wᵀ``."""
+        n, d = x.shape
+        xt = x.T  # (d, n) — no centering, no K, no √n scaling
+
+        if self._mesh is not None:
+            from ..ops.jacobi import warm_kernel_probes
+            from ..ops.pallas.replication import replicated_kernel_mesh
+            from ..parallel.distributed import fast_ica_fit
+            from ..parallel.mesh import shard_rows_padded
+
+            self._key, subkey = jax.random.split(self._key)
+            x_sh, n_true = shard_rows_padded(x, self._mesh)
+            warm_kernel_probes(x.dtype)
+            with replicated_kernel_mesh(self._mesh):
+                st = fast_ica_fit(
+                    x_sh, subkey,
+                    fun=self._fun, tol=self._tol, max_iter=self._max_iter,
+                    n_valid=n_true if n_true != x_sh.shape[0] else None,
+                    whiten=False,
+                    decorrelation=resolve_decorrelation(self._decorrelation),
+                    precision=resolve_iteration_precision(
+                        self._iteration_precision, x.dtype
+                    ),
+                    cfg=_config.cache_key() + (self._mesh,),
+                )
+            check_decorrelation_value(
+                st["w_orth_err"], _common.real_dtype(x.dtype)
+            )
+            self._components = st["components"]
+            self._means = st["means"]
+            self._n_iter = int(st["n_iter"])
+            return None  # fit_transform routes through transform()
+
+        self._key, subkey = jax.random.split(self._key)
+        w_init = rng_util.normal(subkey, (d, d), x.dtype)
+        w, n_iter = ica_par(
+            xt, self._tol, self._max_iter, w_init, fun=self._fun,
+            decorrelation=resolve_decorrelation(self._decorrelation),
+            precision=resolve_iteration_precision(
+                self._iteration_precision, x.dtype
+            ),
+        )
+        check_decorrelation(w)
+        self._components = w
+        self._means = jnp.zeros((d,), _common.real_dtype(x.dtype))
+        self._n_iter = n_iter
+        return xt
+
 def decorrelation_certificate(w):
     """Certificate that symmetric decorrelation succeeded: ``G = W·Wᴴ``
     must be an **orthogonal projector** (``G² = G``) — the exact
@@ -632,6 +700,7 @@ class FastIcaBuilder:
         self._fun = "logcosh"
         self._tol = 1e-4
         self._max_iter = 200
+        self._whiten = True
         self._whiten_solver = "auto"
         self._mesh = None
         self._n_components = None
@@ -662,6 +731,15 @@ class FastIcaBuilder:
 
     def max_iter(self, max_iter: int) -> "FastIcaBuilder":
         self._max_iter = max_iter
+        return self
+
+    def whiten(self, whiten: bool) -> "FastIcaBuilder":
+        """``False``: the data is certified pre-centered and
+        pre-whitened; the fit runs ``ica_par`` directly and
+        ``components_`` is the square unmixing W (sklearn semantics;
+        extension — the reference's whitening is hardwired,
+        ica.rs:173-208)."""
+        self._whiten = whiten
         return self
 
     def whiten_solver(self, solver: str) -> "FastIcaBuilder":
@@ -703,6 +781,7 @@ class FastIcaBuilder:
             fun=self._fun,
             tol=self._tol,
             max_iter=self._max_iter,
+            whiten=self._whiten,
             whiten_solver=self._whiten_solver,
             mesh=self._mesh,
             n_components=self._n_components,

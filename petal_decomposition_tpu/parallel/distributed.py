@@ -571,11 +571,13 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
 
 @partial(jax.jit, static_argnames=("fun", "max_iter", "n_valid",
                                    "fuse_centering", "n_components",
+                                   "whiten",
                                    "decorrelation", "precision", "cfg"))
 def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
                  max_iter: int = 200, n_valid: int | None = None,
                  fuse_centering: bool = True,
                  n_components: int | None = None,
+                 whiten: bool = True,
                  decorrelation: str = "eigh",
                  precision: str = "full", cfg=None):
     """FastICA with Gram/eigh whitening as one sharded XLA computation.
@@ -583,12 +585,36 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     Whitening reduces over samples once (d×d psum); each ``ica_par``
     step reduces the k×n whitened data against Gᵀ (psum) and solves the
     replicated k×k decorrelation eigenproblem on every device.
+
+    ``whiten=False`` (static): the caller certifies pre-centered,
+    pre-whitened data — no centering, no whitening solve; ``ica_par``
+    runs on the sharded Xᵀ directly and ``components`` is the square
+    unmixing W (sklearn semantics; see ``FastIca._fit_no_whiten``).
     """
     from ..models._common import real_dtype as _real_dtype_of
     from ..models.fast_ica import _ica_par_core
 
     n = x.shape[0] if n_valid is None else n_valid
     d = x.shape[1]
+    if not whiten:
+        real = _real_dtype_of(x.dtype)
+        w_init = rng_util.normal(key, (d, d), x.dtype)
+        with jax.named_scope("ica_par"):
+            w, lim, n_iter = _ica_par_core(
+                x.T, jnp.asarray(tol, real), max_iter, w_init, fun,
+                n_valid=n_valid, decorrelation=decorrelation,
+                precision=precision, cfg=cfg,
+            )
+        from ..models.fast_ica import decorrelation_certificate
+
+        return {
+            "components": w,
+            "means": jnp.zeros((d,), real),
+            "n_iter": n_iter,
+            "lim": lim,
+            "off": jnp.zeros((), real),
+            "w_orth_err": decorrelation_certificate(w),
+        }
     k = min(n, d) if n_components is None else min(n_components, n, d)
     means, xm, _, gram, _ = _contractions(x, True, n_valid, fuse_centering)
     with jax.named_scope("whiten_gram"):

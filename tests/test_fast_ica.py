@@ -452,3 +452,66 @@ def test_whiten_solver_auto_matches_svd_on_cpu():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     with pytest.raises(ValueError):
         FastIca(whiten_solver="qr")
+
+
+def _prewhitened(n=4000, d=3, seed=0):
+    rng = np.random.default_rng(seed)
+    s0 = rng.laplace(size=(n, d))
+    x = s0 @ rng.normal(size=(d, d)).T
+    xc = x - x.mean(0)
+    u, _, _ = np.linalg.svd(xc, full_matrices=False)
+    return u * np.sqrt(n), s0
+
+
+def test_whiten_false_basic_contract():
+    """whiten=False (SURVEY §5's promoted `whiten` parameter, sklearn
+    semantics): no centering, components_ IS the unmixing W."""
+    xw, s0 = _prewhitened()
+    m = FastIcaBuilder().seed(5).whiten(False).build()
+    y = np.asarray(m.fit_transform(xw))
+    assert y.shape == xw.shape
+    assert np.all(np.asarray(m.mean_) == 0)
+    w = np.asarray(m.components_)
+    # On whitened input the converged unmixing is orthonormal.
+    assert np.max(np.abs(w @ w.T - np.eye(w.shape[0]))) < 1e-10
+    # fit + transform == fit_transform (means are zero).
+    m2 = FastIcaBuilder().seed(5).whiten(False).build().fit(xw)
+    np.testing.assert_allclose(
+        np.asarray(m2.transform(xw)), y, atol=1e-12
+    )
+    # Sources recovered.
+    c = np.corrcoef(y.T, s0.T)[: w.shape[0], w.shape[0]:]
+    assert np.all(np.sort(np.abs(c), axis=1)[:, -1] > 0.95)
+
+
+def test_whiten_false_rejects_n_components():
+    with pytest.raises(InvalidInput):
+        FastIca(whiten=False, n_components=2)
+
+
+def test_whiten_false_mesh_matches_single_device():
+    from petal_decomposition_tpu.parallel.mesh import make_mesh
+
+    xw, _ = _prewhitened(n=2048)
+    single = FastIcaBuilder().seed(5).whiten(False).build().fit(xw)
+    meshed = (
+        FastIcaBuilder().seed(5).whiten(False).mesh(make_mesh(8)).build()
+    ).fit(xw)
+    assert single.n_iter_ == meshed.n_iter_
+    np.testing.assert_allclose(
+        np.asarray(meshed.components_),
+        np.asarray(single.components_),
+        atol=1e-12,
+    )
+
+
+def test_whiten_false_serializes():
+    from petal_decomposition_tpu.utils.serialize import from_bytes, to_bytes
+
+    xw, _ = _prewhitened(n=500)
+    m = FastIcaBuilder().seed(5).whiten(False).build().fit(xw)
+    m2 = from_bytes(to_bytes(m))
+    assert m2._whiten is False
+    np.testing.assert_allclose(
+        np.asarray(m2.transform(xw[:9])), np.asarray(m.transform(xw[:9]))
+    )

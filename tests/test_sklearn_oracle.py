@@ -108,3 +108,51 @@ def test_ica_par_matches_sklearn_fixed_iterations():
     )
     assert n_ours == 5
     np.testing.assert_allclose(np.asarray(w_ours), w_sk, atol=1e-9)
+
+
+def test_fast_ica_whiten_false_matches_sklearn_model():
+    """Model-level oracle for whiten=False: with the same w_init and a
+    fixed iteration count (tol≈0 so neither stops early — the two
+    convergence functionals differ only in when they STOP), sklearn's
+    FastICA(whiten=False) and ours run identical updates."""
+    from sklearn.decomposition import FastICA as SkFastICA
+
+    from petal_decomposition_tpu.models.fast_ica import ica_par
+
+    rng = np.random.default_rng(3)
+    s0 = rng.laplace(size=(2000, 4))
+    x = s0 @ rng.normal(size=(4, 4)).T
+    xc = x - x.mean(0)
+    u, _, _ = np.linalg.svd(xc, full_matrices=False)
+    xw = u * np.sqrt(2000)
+    w0 = rng.normal(size=(4, 4))
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # sklearn convergence warning
+        sk = SkFastICA(
+            whiten=False, algorithm="parallel", fun="logcosh",
+            w_init=w0, max_iter=7, tol=1e-30,
+        )
+        y_sk = sk.fit_transform(xw)
+
+    w_ours, n_iter = ica_par(xw.T, 0.0, 7, w0)
+    assert n_iter == 7
+    np.testing.assert_allclose(
+        np.asarray(w_ours), sk.components_, atol=1e-10
+    )
+    # And the model-level transform agrees given the same W.
+    from petal_decomposition_tpu import FastIcaBuilder
+
+    m = FastIcaBuilder().seed(1).whiten(False).max_iter(7).tol(
+        1e-30
+    ).build().fit(xw)
+    assert m.n_iter_ == 7
+    y = np.asarray(m.transform(xw))
+    # Different w_init (model draws its own) → different rotation; only
+    # the subspace/orthogonality contract is shared.  Check ours against
+    # sklearn's on the SAME W instead:
+    np.testing.assert_allclose(
+        xw @ np.asarray(w_ours).T, y_sk, atol=1e-10
+    )
