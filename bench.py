@@ -35,7 +35,6 @@ from __future__ import annotations
 import functools
 import json
 import os
-import signal
 import threading
 import time
 
@@ -71,29 +70,50 @@ def _die_with_partial(error: str) -> None:
     os._exit(2)
 
 
-def _install_watchdog() -> None:
-    def on_alarm(signum, frame):  # noqa: ARG001
-        _die_with_partial(
-            f"bench watchdog fired after {TOTAL_TIMEOUT_S}s; partial "
-            "results only (likely a hung TPU op through the axon tunnel)"
-        )
+_WATCHDOG = None
 
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(TOTAL_TIMEOUT_S)
+
+def _install_watchdog() -> None:
+    """Total-runtime watchdog as a daemon TIMER THREAD, not SIGALRM: a
+    Python signal handler only runs when the main thread re-enters the
+    bytecode loop, which never happens while it is blocked inside a
+    jax C++ block-until-ready wait — the exact hung-TPU-op scenario
+    this guards.  The timer thread emits the partial JSON and exits the
+    process regardless of what the main thread is stuck in."""
+    global _WATCHDOG
+
+    _WATCHDOG = threading.Timer(
+        TOTAL_TIMEOUT_S,
+        _die_with_partial,
+        args=(
+            f"bench watchdog fired after {TOTAL_TIMEOUT_S}s; partial "
+            "results only (likely a hung TPU op through the axon "
+            "tunnel)",
+        ),
+    )
+    _WATCHDOG.daemon = True
+    _WATCHDOG.start()
 
 
 def _device_init_or_die() -> None:
     """Touch the backend in a daemon thread: if the axon relay is
     wedged, client init blocks indefinitely inside a C call — the
-    daemon thread stays stuck while we emit an error line and exit."""
+    daemon thread stays stuck while we emit an error line and exit.
+    A probe that *raises* (misconfigured platform, plugin error) is
+    reported as that exception immediately, not misdiagnosed as a
+    timeout."""
     done = threading.Event()
     info: dict = {}
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        info["device"] = str(jax.devices()[0])
-        done.set()
+            info["device"] = str(jax.devices()[0])
+        except BaseException as e:  # noqa: BLE001 — reported verbatim
+            info["error"] = f"{type(e).__name__}: {e}"
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
@@ -102,6 +122,10 @@ def _device_init_or_die() -> None:
             f"TPU backend init did not complete in {INIT_TIMEOUT_S}s "
             "(axon relay outage — see RESULTS_r3.json session_notes); "
             "the code is untested-at-judge-time, not broken"
+        )
+    if "error" in info:
+        _die_with_partial(
+            f"TPU backend init failed: {info['error']}"
         )
     PARTIAL["device"] = info["device"]
 
@@ -522,7 +546,8 @@ def main() -> None:
     )
     PARTIAL["fastica_64x100k"] = ica
 
-    signal.alarm(0)
+    if _WATCHDOG is not None:
+        _WATCHDOG.cancel()
     _emit(round(fit_s * 1e3, 3), round(cpu_s / fit_s, 2), dict(PARTIAL))
 
 

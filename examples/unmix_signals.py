@@ -7,8 +7,6 @@ Run: JAX_PLATFORMS=cpu python examples/unmix_signals.py
 import numpy as np
 
 import petal_decomposition_tpu  # noqa: F401  (x64 + cache config at import)
-import jax
-
 
 from petal_decomposition_tpu import FastIcaBuilder, RandomizedPcaBuilder
 

@@ -439,11 +439,57 @@ class FastIca:
         _common.check_mesh_complex(self._mesh, x.dtype)
         return self._inner_fit_impl(x)
 
+    def _run_mesh_fit(self, x, *, whiten: bool):
+        """Sharded fit scaffolding shared by the whitened and
+        whiten=False paths: key split, padded row-sharding, eager
+        kernel probes, the jitted ``fast_ica_fit``, certificate checks
+        (the whitening-eigh certificate only exists when whitening
+        ran), and state install."""
+        from ..ops.jacobi import warm_kernel_probes
+        from ..ops.pallas.replication import replicated_kernel_mesh
+        from ..parallel.distributed import fast_ica_fit
+        from ..parallel.mesh import shard_rows_padded
+
+        self._key, subkey = jax.random.split(self._key)
+        x_sh, n_true = shard_rows_padded(x, self._mesh)
+        # Sharded trace: VMEM kernels run replicated via shard_map.
+        warm_kernel_probes(x.dtype)
+        with replicated_kernel_mesh(self._mesh):
+            st = fast_ica_fit(
+                x_sh, subkey,
+                fun=self._fun, tol=self._tol, max_iter=self._max_iter,
+                n_valid=n_true if n_true != x_sh.shape[0] else None,
+                n_components=self._n_components if whiten else None,
+                whiten=whiten,
+                decorrelation=resolve_decorrelation(self._decorrelation),
+                precision=resolve_iteration_precision(
+                    self._iteration_precision, x.dtype
+                ),
+                cfg=_config.cache_key() + (self._mesh,),
+            )
+        if whiten:
+            _linalg.check_certificate(
+                st["off"], _common.real_dtype(x.dtype), x.shape[1],
+                "eigendecomposition",
+            )
+        check_decorrelation_value(
+            st["w_orth_err"], _common.real_dtype(x.dtype)
+        )
+        self._components = st["components"]
+        self._means = st["means"]
+        self._n_iter = int(st["n_iter"])
+        return None  # fit_transform routes through transform()
+
     def _inner_fit_impl(self, x):
         """ref: ica.rs:167-221.  Returns the centered, transposed data
         (d × n), as the reference does."""
         n, d = x.shape
-        if not self._whiten and n > 0 and d > 0:
+        if not self._whiten:
+            if n == 0 or d == 0:
+                raise InvalidInput(
+                    "whiten=False requires non-empty data (the square "
+                    "d x d unmixing W is undefined for empty input)"
+                )
             return self._fit_no_whiten(x)
         # Reference default: k = min(n, d), not user-settable (ica.rs:173).
         k = min(n, d)
@@ -471,37 +517,7 @@ class FastIca:
             return (x - means).T
 
         if self._mesh is not None:
-            from ..ops.jacobi import warm_kernel_probes
-            from ..ops.pallas.replication import replicated_kernel_mesh
-            from ..parallel.distributed import fast_ica_fit
-            from ..parallel.mesh import shard_rows_padded
-
-            self._key, subkey = jax.random.split(self._key)
-            x_sh, n_true = shard_rows_padded(x, self._mesh)
-            # Sharded trace: VMEM kernels run replicated via shard_map.
-            warm_kernel_probes(x.dtype)
-            with replicated_kernel_mesh(self._mesh):
-                st = fast_ica_fit(
-                    x_sh, subkey,
-                    fun=self._fun, tol=self._tol, max_iter=self._max_iter,
-                    n_valid=n_true if n_true != x_sh.shape[0] else None,
-                    n_components=self._n_components,
-                    decorrelation=resolve_decorrelation(self._decorrelation),
-                    precision=resolve_iteration_precision(
-                        self._iteration_precision, x.dtype
-                    ),
-                    cfg=_config.cache_key() + (self._mesh,),
-                )
-            _linalg.check_certificate(
-                st["off"], _common.real_dtype(x.dtype), d, "eigendecomposition"
-            )
-            check_decorrelation_value(
-                st["w_orth_err"], _common.real_dtype(x.dtype)
-            )
-            self._components = st["components"]
-            self._means = st["means"]
-            self._n_iter = int(st["n_iter"])
-            return None  # fit_transform routes through transform()
+            return self._run_mesh_fit(x, whiten=True)
 
         means = jnp.mean(x, axis=0)
         xt = (x - means).T  # (d, n) — ref: ica.rs:178-188
@@ -558,33 +574,7 @@ class FastIca:
         xt = x.T  # (d, n) — no centering, no K, no √n scaling
 
         if self._mesh is not None:
-            from ..ops.jacobi import warm_kernel_probes
-            from ..ops.pallas.replication import replicated_kernel_mesh
-            from ..parallel.distributed import fast_ica_fit
-            from ..parallel.mesh import shard_rows_padded
-
-            self._key, subkey = jax.random.split(self._key)
-            x_sh, n_true = shard_rows_padded(x, self._mesh)
-            warm_kernel_probes(x.dtype)
-            with replicated_kernel_mesh(self._mesh):
-                st = fast_ica_fit(
-                    x_sh, subkey,
-                    fun=self._fun, tol=self._tol, max_iter=self._max_iter,
-                    n_valid=n_true if n_true != x_sh.shape[0] else None,
-                    whiten=False,
-                    decorrelation=resolve_decorrelation(self._decorrelation),
-                    precision=resolve_iteration_precision(
-                        self._iteration_precision, x.dtype
-                    ),
-                    cfg=_config.cache_key() + (self._mesh,),
-                )
-            check_decorrelation_value(
-                st["w_orth_err"], _common.real_dtype(x.dtype)
-            )
-            self._components = st["components"]
-            self._means = st["means"]
-            self._n_iter = int(st["n_iter"])
-            return None  # fit_transform routes through transform()
+            return self._run_mesh_fit(x, whiten=False)
 
         self._key, subkey = jax.random.split(self._key)
         w_init = rng_util.normal(subkey, (d, d), x.dtype)

@@ -128,11 +128,10 @@ class StreamMoments:
 
 
 def _coerce_block(b, dtype):
-    b = np.asarray(b)
-    if b.ndim != 2:
-        raise InvalidInput(
-            f"expected 2-dimensional blocks, got {b.ndim}-d"
-        )
+    """``(block, stream_dtype)``; ``b`` must be non-empty — zero-row
+    blocks are skipped by the caller *before* coercion so they can
+    never pin the stream dtype (an empty f32 buffer at the head of an
+    otherwise-f64 generator must not downgrade the stream)."""
     if np.issubdtype(b.dtype, np.complexfloating):
         raise InvalidInput(
             "streamed fits support real dtypes only (complex fits "
@@ -192,6 +191,13 @@ def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True):
     dtype = None
     d = None
     for b in blocks:
+        b = np.asarray(b)
+        if b.ndim != 2:
+            raise InvalidInput(
+                f"expected 2-dimensional blocks, got {b.ndim}-d"
+            )
+        if b.shape[0] == 0:
+            continue
         b, dtype = _coerce_block(b, dtype)
         if d is None:
             d = b.shape[1]
@@ -199,8 +205,6 @@ def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True):
             raise InvalidInput(
                 f"inconsistent block widths: expected {d}, got {b.shape[1]}"
             )
-        if b.shape[0] == 0:
-            continue
         buf.append(b)
         have += b.shape[0]
         while have >= block_rows:

@@ -515,3 +515,9 @@ def test_whiten_false_serializes():
     np.testing.assert_allclose(
         np.asarray(m2.transform(xw[:9])), np.asarray(m.transform(xw[:9]))
     )
+
+
+def test_whiten_false_rejects_empty_input():
+    for shape in ((0, 4), (5, 0)):
+        with pytest.raises(InvalidInput):
+            FastIca(whiten=False).fit(np.zeros(shape))

@@ -319,3 +319,17 @@ def test_uniform_chunks_padding():
     assert all(c[0].shape == (4, 2) for c in chunks)
     # Padded tail rows are zero.
     assert np.all(chunks[-1][0][1:] == 0)
+
+
+def test_stream_empty_first_block_does_not_pin_dtype():
+    """A zero-row block at the head of a stream (common with filtered
+    readers) must neither reject nor downgrade the stream dtype."""
+    x64 = _data(n=200, d=8)
+    m = pdt.Pca(2).fit_batched(
+        [x64[:0].astype(np.float32), x64], block_rows=64
+    )
+    assert np.asarray(m.singular_values_).dtype == np.float64
+    m2 = pdt.Pca(2).fit_batched(
+        [x64[:0].astype(np.int64), x64.astype(np.float32)], block_rows=64
+    )
+    assert np.asarray(m2.singular_values_).dtype == np.float32
