@@ -184,6 +184,20 @@ class Pca:
         return streaming.transform_batched(self, blocks,
                                            block_rows=block_rows)
 
+    def partial_fit(self, x, *, block_rows: int | None = None) -> "Pca":
+        """Incremental out-of-core fit: accumulate ``x`` (a block, an
+        iterable of blocks, or a 2-D array-like) into the persistent
+        stream and re-solve, so the model is consistently fitted after
+        every call (sklearn ``IncrementalPCA`` semantics).  Any
+        ``fit``/``fit_batched`` restarts the stream.  Accumulator state
+        is process-local (not serialized).  Returns ``self``."""
+        from . import streaming
+
+        streaming.partial_fit_step(
+            self, x, block_rows=block_rows, solve=streaming._solve_exact
+        )
+        return self
+
     @staticmethod
     def _auto_prefers_gram(x) -> bool:
         """Since round 2 the direct path serves every f32 width: VMEM
@@ -209,6 +223,7 @@ class Pca:
         return n >= 8 * d
 
     def _inner_fit(self, x):
+        self._stream = None  # a full fit restarts any partial_fit stream
         # Complex fits on an accelerator run host-side (the
         # reference's c32/c64 support is CPU LAPACK; complex XLA:TPU
         # programs are impractical — see _common.complex_host_ctx).

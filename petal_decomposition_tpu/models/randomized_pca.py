@@ -247,7 +247,23 @@ class RandomizedPca:
         return streaming.transform_batched(self, blocks,
                                            block_rows=block_rows)
 
+    def partial_fit(self, x,
+                    *, block_rows: int | None = None) -> "RandomizedPca":
+        """Incremental out-of-core randomized fit: accumulate ``x``
+        into the persistent stream and re-solve (each call consumes the
+        next PRNG subkey for its sketch).  Any ``fit``/``fit_batched``
+        restarts the stream; accumulator state is process-local (not
+        serialized).  Returns ``self``."""
+        from . import streaming
+
+        streaming.partial_fit_step(
+            self, x, block_rows=block_rows,
+            solve=streaming._solve_randomized,
+        )
+        return self
+
     def _inner_fit(self, x):
+        self._stream = None  # a full fit restarts any partial_fit stream
         # Complex fits on an accelerator run host-side (the
         # reference's c32/c64 support is CPU LAPACK; complex XLA:TPU
         # programs are impractical — see _common.complex_host_ctx).

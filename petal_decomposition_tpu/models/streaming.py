@@ -436,6 +436,7 @@ def stream_fit_exact(model, blocks, *, block_rows: int | None = None):
 
     from ..utils.profiling import FitStats
 
+    model._stream = None  # a full fit restarts any partial_fit stream
     t0 = time.perf_counter()
     k = model._n_components
     m = accumulate_moments(
@@ -461,6 +462,7 @@ def stream_fit_randomized(model, blocks, *, block_rows: int | None = None):
 
     from ..utils.profiling import FitStats
 
+    model._stream = None  # a full fit restarts any partial_fit stream
     t0 = time.perf_counter()
     k = model._n_components
     m = accumulate_moments(
@@ -533,3 +535,148 @@ def transform_batched(model, blocks, *, block_rows: int | None = None):
     if not seen:
         raise InvalidInput("empty stream: no data blocks")
     return np.concatenate(outs, axis=0)
+
+
+class _StreamState:
+    """Persistent accumulator for ``partial_fit`` (kept on the model
+    between calls; cleared by any ``fit``/``fit_batched``)."""
+
+    def __init__(self, block_rows: int, mesh):
+        self.block_rows = block_rows
+        self.mesh = mesh
+        self.carry = None  # (g, s, sq) float64 device arrays
+        self.shift = None  # device (d,) float64
+        self.shift_host = None
+        self.n = 0
+        self.n_blocks = 0
+        self.d = None
+        self.dtype = None
+
+
+def partial_fit_step(model, x_block, *, block_rows: int | None,
+                     solve) -> None:
+    """Shared ``partial_fit`` implementation: accumulate one more block
+    into the model's persistent stream state, then re-finalize and
+    re-solve so the model is consistently fitted after every call
+    (sklearn ``IncrementalPCA`` semantics).  The re-solve is d-sized
+    (l×l / d×d eigensolves), so per-call cost is one block pass plus a
+    small factorization."""
+    import time
+
+    from ..utils.profiling import FitStats
+
+    t0 = time.perf_counter()
+    if model._mesh is not None and jax.process_count() > 1:
+        raise InvalidInput(
+            "streamed fits support single-process meshes only "
+            "(multi-host streams would need per-process block feeds)"
+        )
+    st = getattr(model, "_stream", None)
+    if st is None:
+        if block_rows is None:
+            block_rows = _DEFAULT_BLOCK_ROWS
+        _check_block_rows(block_rows)
+        if model._mesh is not None:
+            n_dev = model._mesh.size
+            block_rows = -(-block_rows // n_dev) * n_dev
+        st = _StreamState(block_rows, model._mesh)
+        model._stream = st
+    elif block_rows is not None and block_rows != st.block_rows:
+        raise InvalidInput(
+            f"block_rows is fixed at {st.block_rows} by the first "
+            "partial_fit call (one compiled step per stream)"
+        )
+
+    if st.mesh is not None:
+        from ..parallel.mesh import replicated_sharding, row_sharding
+
+        put_block = partial(jax.device_put, device=row_sharding(st.mesh))
+        put_repl = partial(
+            jax.device_put, device=replicated_sharding(st.mesh)
+        )
+    else:
+        put_block = jax.device_put
+        put_repl = jax.device_put
+
+    centering = model._centering
+    for chunk, n_valid in _uniform_chunks(
+        _iter_input_blocks(x_block, st.block_rows), st.block_rows,
+    ):
+        if st.carry is None:
+            st.d = chunk.shape[1]
+            st.dtype = chunk.dtype
+            shift = (
+                chunk[:n_valid].mean(axis=0, dtype=np.float64)
+                if centering
+                else np.zeros((st.d,), np.float64)
+            )
+            st.shift_host = shift
+            st.shift = put_repl(shift)
+            st.carry = (
+                put_repl(np.zeros((st.d, st.d), np.float64)),
+                put_repl(np.zeros((st.d,), np.float64)),
+                put_repl(np.zeros((), np.float64)),
+            )
+        elif chunk.shape[1] != st.d:
+            raise InvalidInput(
+                f"inconsistent block widths: expected {st.d}, "
+                f"got {chunk.shape[1]}"
+            )
+        elif np.dtype(chunk.dtype) != st.dtype:
+            raise InvalidInput(
+                f"block dtype {chunk.dtype} does not match the stream "
+                f"dtype {st.dtype} (fixed by the first partial_fit)"
+            )
+        st.carry = _accum_step(
+            st.carry, put_block(chunk), st.shift, n_valid,
+            precision="highest",
+        )
+        st.n += n_valid
+        st.n_blocks += 1
+    if st.carry is None:
+        raise InvalidInput("empty stream: no data blocks")
+
+    g, s, sq = st.carry
+    if centering:
+        means64, gc, tv, r = _finalize_centered(
+            g, s, sq, st.shift, float(st.n)
+        )
+        means = means64.astype(st.dtype)
+    else:
+        means = jnp.zeros((st.d,), st.dtype)
+        gc, tv = g, sq
+        r = jnp.zeros((), jnp.float64)
+    m = StreamMoments(
+        means, gc, tv, r, n_samples=st.n, n_blocks=st.n_blocks,
+        dtype=jnp.dtype(st.dtype),
+    )
+    # Donation note: _finalize_centered does NOT donate, and the solve
+    # only reads m.gram, so st.carry stays valid for the next call.
+    solve(model, m)
+    _install_stats(model, m, t0, FitStats)
+    model.last_fit_stats_.extra["partial_fit_calls"] = st.n_blocks
+
+
+def _solve_exact(model, m: StreamMoments) -> None:
+    _check_stream_dims(m, model._n_components)
+    sigma, vt, off = exact_pca_from_gram(m, mesh=model._mesh)
+    _linalg.check_certificate(
+        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
+    )
+    k_full = min(m.n_samples, m.gram.shape[0])
+    _install_state(model, m, sigma[:k_full], vt, model._n_components)
+
+
+def _solve_randomized(model, m: StreamMoments) -> None:
+    _check_stream_dims(m, model._n_components)
+    model._key, subkey = jax.random.split(model._key)
+    sigma, vt, off = randomized_pca_from_gram(
+        m, subkey, n_components=model._n_components,
+        n_oversamples=model._n_oversamples,
+        n_power_iters=model._n_power_iters,
+        mesh=model._mesh,
+    )
+    _linalg.check_certificate(
+        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
+    )
+    _install_state(model, m, sigma, vt, model._n_components)

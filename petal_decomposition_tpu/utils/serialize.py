@@ -42,6 +42,12 @@ def _model_state(model) -> tuple[dict, dict]:
             meta[name] = None
         elif name == "last_fit_stats_":
             continue  # transient observability data, not model state
+        elif name == "_stream":
+            # partial_fit accumulator: process-local device buffers.  A
+            # restored model transforms identically and can start a NEW
+            # stream; continuing a half-accumulated one across processes
+            # is not supported (documented in models/streaming.py).
+            continue
         elif value is None:
             meta[name] = None
         elif isinstance(value, (bool, int, float, str)):

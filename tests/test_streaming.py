@@ -336,3 +336,97 @@ def test_stream_empty_first_block_does_not_pin_dtype():
         [x64[:0].astype(np.int64), x64.astype(np.float32)], block_rows=64
     )
     assert np.asarray(m2.singular_values_).dtype == np.float32
+
+
+def test_partial_fit_matches_fit_batched():
+    x = _data(n=6000, d=32)
+    m = pdt.Pca(4)
+    for i in range(0, 6000, 2000):
+        m.partial_fit(x[i : i + 2000], block_rows=512)
+    ref = pdt.Pca(4).fit_batched(x, block_rows=512)
+    np.testing.assert_allclose(
+        np.asarray(m.singular_values_),
+        np.asarray(ref.singular_values_),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.mean_), np.asarray(ref.mean_), atol=1e-12
+    )
+    assert m._n_samples == 6000
+    assert m.last_fit_stats_.extra["partial_fit_calls"] == 12
+
+
+def test_partial_fit_usable_after_every_call():
+    x = _data(n=2000, d=16)
+    m = pdt.Pca(3).partial_fit(x[:1000], block_rows=256)
+    y1 = np.asarray(m.transform(x[:5]))
+    assert y1.shape == (5, 3)
+    m.partial_fit(x[1000:])
+    assert m._n_samples == 2000
+    assert np.asarray(m.transform(x[:5])).shape == (5, 3)
+
+
+def test_partial_fit_randomized_consumes_subkeys():
+    x = _data(n=2000, d=16)
+    r = pdt.RandomizedPca(3, seed=9)
+    k0 = np.asarray(jax.random.key_data(r._key))
+    r.partial_fit(x[:1000], block_rows=256)
+    k1 = np.asarray(jax.random.key_data(r._key))
+    r.partial_fit(x[1000:])
+    k2 = np.asarray(jax.random.key_data(r._key))
+    assert not np.array_equal(k0, k1) and not np.array_equal(k1, k2)
+    # Statistically consistent with the one-shot streamed fit.
+    ref = pdt.RandomizedPca(3, seed=9).fit_batched(x, block_rows=256)
+    np.testing.assert_allclose(
+        np.asarray(r.singular_values_),
+        np.asarray(ref.singular_values_),
+        rtol=0.05,
+    )
+
+
+def test_partial_fit_full_fit_restarts_stream():
+    x = _data(n=1500, d=16)
+    m = pdt.Pca(3).partial_fit(x[:1000], block_rows=256)
+    m.fit(x[:500])
+    m.partial_fit(x[:700], block_rows=256)
+    assert m._n_samples == 700
+    m.fit_batched(x, block_rows=256)
+    m.partial_fit(x[:300], block_rows=256)
+    assert m._n_samples == 300
+
+
+def test_partial_fit_pins_block_rows_and_dtype():
+    x = _data(n=400, d=8)
+    m = pdt.Pca(2).partial_fit(x[:200], block_rows=128)
+    with pytest.raises(InvalidInput):
+        m.partial_fit(x[200:], block_rows=64)
+    m2 = pdt.Pca(2).partial_fit(x[:200].astype(np.float32))
+    with pytest.raises(InvalidInput):
+        m2.partial_fit(x[200:])  # f64 into an f32 stream
+
+
+def test_partial_fit_serialization_drops_stream_state():
+    from petal_decomposition_tpu.utils.serialize import from_bytes, to_bytes
+
+    x = _data(n=600, d=8)
+    m = pdt.Pca(2).partial_fit(x, block_rows=256)
+    m2 = from_bytes(to_bytes(m))
+    assert getattr(m2, "_stream", None) is None
+    np.testing.assert_allclose(
+        np.asarray(m2.transform(x[:4])), np.asarray(m.transform(x[:4]))
+    )
+
+
+def test_partial_fit_on_mesh():
+    from petal_decomposition_tpu.parallel.mesh import make_mesh
+
+    x = _data(n=2048, d=16)
+    mesh = make_mesh(8)
+    m = pdt.PcaBuilder(3).mesh(mesh).build()
+    m.partial_fit(x[:1024], block_rows=256).partial_fit(x[1024:])
+    ref = pdt.Pca(3).fit_batched(x, block_rows=256)
+    np.testing.assert_allclose(
+        np.asarray(m.singular_values_),
+        np.asarray(ref.singular_values_),
+        rtol=1e-11,
+    )
