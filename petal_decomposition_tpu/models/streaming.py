@@ -549,6 +549,7 @@ class _StreamState:
         self.shift_host = None
         self.n = 0
         self.n_blocks = 0
+        self.calls = 0
         self.d = None
         self.dtype = None
 
@@ -652,9 +653,10 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
     )
     # Donation note: _finalize_centered does NOT donate, and the solve
     # only reads m.gram, so st.carry stays valid for the next call.
+    st.calls += 1
     solve(model, m)
     _install_stats(model, m, t0, FitStats)
-    model.last_fit_stats_.extra["partial_fit_calls"] = st.n_blocks
+    model.last_fit_stats_.extra["partial_fit_calls"] = st.calls
 
 
 def _solve_exact(model, m: StreamMoments) -> None:

@@ -353,7 +353,8 @@ def test_partial_fit_matches_fit_batched():
         np.asarray(m.mean_), np.asarray(ref.mean_), atol=1e-12
     )
     assert m._n_samples == 6000
-    assert m.last_fit_stats_.extra["partial_fit_calls"] == 12
+    assert m.last_fit_stats_.extra["partial_fit_calls"] == 3
+    assert m.last_fit_stats_.extra["streamed_blocks"] == 12
 
 
 def test_partial_fit_usable_after_every_call():
