@@ -400,6 +400,33 @@ class FastIca:
             stats.n_iter = self._n_iter
         return self
 
+    @property
+    def mixing_(self):
+        """The pseudo-inverse of ``components_`` — the estimated mixing
+        matrix, shape (d, k) (sklearn-compatible extension; the
+        reference exposes no inverse direction at all — FastIca has no
+        ``inverse_transform``, SURVEY §3.5)."""
+        _common.check_fitted(self._components)
+        return jnp.linalg.pinv(self._components)
+
+    def inverse_transform(self, y):
+        """Reconstruct signals in the original feature space:
+        ``y·mixing_ᵀ + μ`` (sklearn-compatible extension; exact
+        round-trip of ``transform`` when k = d)."""
+        y = _common.as_matrix(y)
+        _common.check_fitted(self._components)
+        if y.shape[1] != self._components.shape[0]:
+            raise InvalidInput(
+                f"# of columns should be {self._components.shape[0]}"
+            )
+        target = jnp.promote_types(y.dtype, self._components.dtype)
+        ctx, y = _common._maybe_host_ctx(y, target, self._mesh)
+        with ctx:
+            components = _common.colocate(self._components, y)
+            means = _common.colocate(self._means, y)
+            mixing = jnp.linalg.pinv(components)
+            return mdot(y.astype(target), mixing.T) + means
+
     def transform(self, x):
         """(x − μ)·Wᵀ (ref: ica.rs:120-131)."""
         x = _common.as_matrix(x)

@@ -127,6 +127,15 @@ class Pca:
     def explained_variance_ratio_(self):
         return self.explained_variance_ratio()
 
+    @property
+    def explained_variance_(self):
+        """Per-component variance σᵢ²/(n−1) (sklearn-compatible
+        extension; the reference exposes only the ratio,
+        pca.rs:100-105)."""
+        _common.check_fitted(self._singular)
+        denom = max(self._n_samples - 1, 1)
+        return (self._singular * self._singular) / denom
+
     # -- fitting --------------------------------------------------------
     def fit(self, x) -> "Pca":
         """Fit the model (ref: pca.rs:116-122).  Returns ``self``."""

@@ -193,6 +193,15 @@ class RandomizedPca:
     def explained_variance_ratio_(self):
         return self.explained_variance_ratio()
 
+    @property
+    def explained_variance_(self):
+        """Per-component variance σᵢ²/(n−1) (sklearn-compatible
+        extension; the reference exposes only the ratio,
+        pca.rs:100-105)."""
+        _common.check_fitted(self._singular)
+        denom = max(self._n_samples - 1, 1)
+        return (self._singular * self._singular) / denom
+
     # -- fitting (ref: pca.rs:430-550) ----------------------------------
     def fit(self, x) -> "RandomizedPca":
         from ..utils.profiling import record_fit

@@ -521,3 +521,27 @@ def test_whiten_false_rejects_empty_input():
     for shape in ((0, 4), (5, 0)):
         with pytest.raises(InvalidInput):
             FastIca(whiten=False).fit(np.zeros(shape))
+
+
+def test_inverse_transform_round_trip():
+    """sklearn-compatible extension: inverse_transform(transform(x)) ≈ x
+    when k = d (exact pinv round-trip, independent of convergence)."""
+    rng = np.random.default_rng(2)
+    s0 = rng.laplace(size=(800, 3))
+    x = s0 @ rng.normal(size=(3, 3)).T
+    m = FastIca.with_seed(RNG_SEED).fit(x)
+    xr = np.asarray(m.inverse_transform(m.transform(x)))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+    assert np.asarray(m.mixing_).shape == (3, 3)
+    # mixing_ is the pinv of components_.
+    np.testing.assert_allclose(
+        np.asarray(m.mixing_),
+        np.linalg.pinv(np.asarray(m.components_)),
+        atol=1e-12,
+    )
+    # Wrong column count errors like the other inverse paths.
+    with pytest.raises(InvalidInput):
+        m.inverse_transform(np.zeros((4, 7)))
+    # Unfitted model errors.
+    with pytest.raises(InvalidInput):
+        FastIca().inverse_transform(np.zeros((2, 3)))

@@ -156,3 +156,16 @@ def test_fast_ica_whiten_false_matches_sklearn_model():
     np.testing.assert_allclose(
         xw @ np.asarray(w_ours).T, y_sk, atol=1e-10
     )
+
+
+def test_explained_variance_matches_sklearn():
+    from sklearn.decomposition import PCA
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((200, 12))
+    ours = Pca(5).fit(x)
+    sk = PCA(n_components=5, svd_solver="full").fit(x)
+    np.testing.assert_allclose(
+        np.asarray(ours.explained_variance_), sk.explained_variance_,
+        atol=1e-10,
+    )
