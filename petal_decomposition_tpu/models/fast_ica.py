@@ -405,9 +405,18 @@ class FastIca:
         """The pseudo-inverse of ``components_`` — the estimated mixing
         matrix, shape (d, k) (sklearn-compatible extension; the
         reference exposes no inverse direction at all — FastIca has no
-        ``inverse_transform``, SURVEY §3.5)."""
+        ``inverse_transform``, SURVEY §3.5).  Computed once per fit:
+        the cache is keyed on the components array's identity, so any
+        refit (which installs a new array) invalidates it without the
+        fit paths having to know about it."""
         _common.check_fitted(self._components)
-        return jnp.linalg.pinv(self._components)
+        cache = getattr(self, "_mixing_cache", None)
+        if cache is None or cache[0] is not self._components:
+            self._mixing_cache = (
+                self._components,
+                jnp.linalg.pinv(self._components),
+            )
+        return self._mixing_cache[1]
 
     def inverse_transform(self, y):
         """Reconstruct signals in the original feature space:
@@ -422,9 +431,8 @@ class FastIca:
         target = jnp.promote_types(y.dtype, self._components.dtype)
         ctx, y = _common._maybe_host_ctx(y, target, self._mesh)
         with ctx:
-            components = _common.colocate(self._components, y)
+            mixing = _common.colocate(self.mixing_, y)
             means = _common.colocate(self._means, y)
-            mixing = jnp.linalg.pinv(components)
             return mdot(y.astype(target), mixing.T) + means
 
     def transform(self, x):

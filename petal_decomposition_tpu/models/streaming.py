@@ -181,17 +181,20 @@ def _iter_input_blocks(data, step: int):
     yield from data
 
 
-def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True):
+def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True,
+                    dtype_hint=None):
     """Re-buffer arbitrary-size input blocks into uniform
     ``block_rows``-row chunks, so the whole stream hits ONE compiled
     step.  Yields ``(chunk, n_valid)``; the final partial chunk is
     zero-padded to the uniform shape when ``pad_tail`` (the
     accumulation path masks it), or yielded at its true size otherwise
-    (the transform path has no one-program constraint)."""
+    (the transform path has no one-program constraint).  ``dtype_hint``
+    continues an existing stream's dtype (``partial_fit`` across
+    calls) under the same safe-cast rule as within one stream."""
     _check_block_rows(block_rows)
     buf: list[np.ndarray] = []
     have = 0
-    dtype = None
+    dtype = dtype_hint
     d = None
     for b in blocks:
         b = np.asarray(b)
@@ -225,6 +228,118 @@ def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True):
         yield np.concatenate([joined, pad]), have
 
 
+class _StreamState:
+    """Accumulator over uniform chunks — used once per ``fit_batched``
+    and persistently (on the model) by ``partial_fit``."""
+
+    def __init__(self, block_rows: int, mesh):
+        self.block_rows = block_rows
+        self.mesh = mesh
+        self.carry = None  # (g, s, sq) float64 device arrays
+        self.shift = None  # device (d,) float64
+        self.n = 0
+        self.n_blocks = 0
+        self.calls = 0
+        self.d = None
+        self.dtype = None
+
+
+def _put_fns(mesh):
+    if mesh is not None:
+        from ..parallel.mesh import replicated_sharding, row_sharding
+
+        return (
+            partial(jax.device_put, device=row_sharding(mesh)),
+            partial(jax.device_put, device=replicated_sharding(mesh)),
+        )
+    return jax.device_put, jax.device_put
+
+
+def _check_stream_mesh(mesh) -> None:
+    if mesh is not None and jax.process_count() > 1:
+        raise InvalidInput(
+            "streamed fits support single-process meshes only "
+            "(multi-host streams would need per-process block feeds)"
+        )
+
+
+def _resolve_block_rows(block_rows: int | None, mesh) -> int:
+    if block_rows is None:
+        block_rows = _DEFAULT_BLOCK_ROWS
+    _check_block_rows(block_rows)
+    if mesh is not None:
+        block_rows = -(-block_rows // mesh.size) * mesh.size
+    return block_rows
+
+
+def _accumulate_chunks(st: _StreamState, chunks, centering: bool,
+                       precision: str = "highest") -> None:
+    """Fold ``(chunk, n_valid)`` pairs into ``st``.  A one-chunk H2D
+    prefetch keeps the next transfer in flight while the current
+    ``_accum_step`` runs."""
+    put_block, put_repl = _put_fns(st.mesh)
+    pending = None
+    for chunk, n_valid in chunks:
+        if st.carry is None:
+            st.d = chunk.shape[1]
+            st.dtype = chunk.dtype
+            # Provisional shift: the first chunk's column mean.  Any
+            # shift works (the finalize re-centers exactly); a
+            # representative one is what kills the cancellation.
+            shift = (
+                chunk[:n_valid].mean(axis=0, dtype=np.float64)
+                if centering
+                else np.zeros((st.d,), np.float64)
+            )
+            st.shift = put_repl(shift)
+            st.carry = (
+                put_repl(np.zeros((st.d, st.d), np.float64)),
+                put_repl(np.zeros((st.d,), np.float64)),
+                put_repl(np.zeros((), np.float64)),
+            )
+        elif chunk.shape[1] != st.d:
+            raise InvalidInput(
+                f"inconsistent block widths: expected {st.d}, "
+                f"got {chunk.shape[1]}"
+            )
+        dev = put_block(chunk)  # async H2D: overlaps the running step
+        if pending is not None:
+            st.carry = _accum_step(
+                st.carry, pending[0], st.shift, pending[1],
+                precision=precision,
+            )
+        pending = (dev, n_valid)
+        st.n += n_valid
+        st.n_blocks += 1
+    if pending is not None:
+        st.carry = _accum_step(
+            st.carry, pending[0], st.shift, pending[1],
+            precision=precision,
+        )
+
+
+def _moments_from_state(st: _StreamState, centering: bool) -> StreamMoments:
+    g, s, sq = st.carry
+    if centering:
+        means64, gc, tv, r = _finalize_centered(
+            g, s, sq, st.shift, float(st.n)
+        )
+        means = means64.astype(st.dtype)
+    else:
+        means = jnp.zeros((st.d,), st.dtype)
+        # Fresh copies, NOT aliases: partial_fit keeps st.carry alive
+        # and the next call's _accum_step DONATES it — state installed
+        # on the model must never share those buffers (a donated alias
+        # turns a previously fitted model's total_variance/gram into a
+        # deleted array).
+        gc, tv = g.copy(), sq.copy()
+        r = jnp.zeros((), jnp.float64)
+    return StreamMoments(
+        means, gc, tv, r, n_samples=st.n, n_blocks=st.n_blocks,
+        dtype=jnp.dtype(st.dtype),
+    )
+
+
 def accumulate_moments(blocks, *, centering: bool = True,
                        block_rows: int | None = None,
                        precision: str = "highest",
@@ -239,87 +354,17 @@ def accumulate_moments(blocks, *, centering: bool = True,
     replicate — the reductions compile to local matmuls + one psum, the
     same GSPMD mapping as the in-core sharded fits.
     """
-    if mesh is not None and jax.process_count() > 1:
-        raise InvalidInput(
-            "streamed fits support single-process meshes only "
-            "(multi-host streams would need per-process block feeds)"
-        )
-    if block_rows is None:
-        block_rows = _DEFAULT_BLOCK_ROWS
-    _check_block_rows(block_rows)
-    if mesh is not None:
-        n_dev = mesh.size
-        block_rows = -(-block_rows // n_dev) * n_dev
-    blocks = _iter_input_blocks(blocks, block_rows)
-
-    if mesh is not None:
-        from ..parallel.mesh import replicated_sharding, row_sharding
-
-        put_block = partial(
-            jax.device_put, device=row_sharding(mesh)
-        )
-        put_repl = partial(
-            jax.device_put, device=replicated_sharding(mesh)
-        )
-    else:
-        put_block = jax.device_put
-        put_repl = jax.device_put
-
-    carry = None
-    shift_dev = None
-    n = 0
-    n_blocks = 0
-    d = None
-    dtype = None
-    pending = None  # (device_chunk, n_valid) — one-chunk prefetch
-    for chunk, n_valid in _uniform_chunks(blocks, block_rows):
-        if carry is None:
-            d = chunk.shape[1]
-            dtype = chunk.dtype
-            # Provisional shift: the first chunk's column mean.  Any
-            # shift works (the finalize re-centers exactly); a
-            # representative one is what kills the cancellation.
-            shift = (
-                chunk[:n_valid].mean(axis=0, dtype=np.float64)
-                if centering
-                else np.zeros((d,), np.float64)
-            )
-            shift_dev = put_repl(shift)
-            carry = (
-                put_repl(np.zeros((d, d), np.float64)),
-                put_repl(np.zeros((d,), np.float64)),
-                put_repl(np.zeros((), np.float64)),
-            )
-        dev = put_block(chunk)  # async H2D: overlaps the running step
-        if pending is not None:
-            carry = _accum_step(
-                carry, pending[0], shift_dev, pending[1],
-                precision=precision,
-            )
-        pending = (dev, n_valid)
-        n += n_valid
-        n_blocks += 1
-    if pending is not None:
-        carry = _accum_step(
-            carry, pending[0], shift_dev, pending[1], precision=precision
-        )
-    if carry is None:
-        raise InvalidInput("empty stream: no data blocks")
-
-    g, s, sq = carry
-    if centering:
-        means64, gc, tv, r = _finalize_centered(
-            g, s, sq, shift_dev, float(n)
-        )
-        means = means64.astype(dtype)
-    else:
-        means = jnp.zeros((d,), dtype)
-        gc, tv = g, sq
-        r = jnp.zeros((), jnp.float64)
-    return StreamMoments(
-        means, gc, tv, r, n_samples=n, n_blocks=n_blocks,
-        dtype=jnp.dtype(dtype),
+    _check_stream_mesh(mesh)
+    block_rows = _resolve_block_rows(block_rows, mesh)
+    st = _StreamState(block_rows, mesh)
+    _accumulate_chunks(
+        st,
+        _uniform_chunks(_iter_input_blocks(blocks, block_rows), block_rows),
+        centering, precision,
     )
+    if st.carry is None:
+        raise InvalidInput("empty stream: no data blocks")
+    return _moments_from_state(st, centering)
 
 
 def _solve_ctx(dtype, mesh):
@@ -404,6 +449,14 @@ def _randomized_solve(gc, omega, *, n_power_iters: int, cfg=None):
     v = mdot(gw, mdot(s_half, z[:, ::-1])) * inv_sigma[None, :].astype(
         gw.dtype
     )
+    # Re-orthonormalize: in exact arithmetic v is orthonormal, but its
+    # float orthogonality degrades with κ(M₁) = κ(XW)² (the in-core
+    # path avoids this via Householder QR of XW), and σ-cutoff
+    # directions are zero columns.  A final thin QR restores exactly
+    # orthonormal component rows — leading (well-separated) directions
+    # are untouched, dead directions get an orthonormal completion,
+    # matching the in-core eigh behavior on rank-deficient data.
+    v = jnp.linalg.qr(v, mode="reduced")[0]
     vt = _flip_components(v.T)
     return sigma, vt, jnp.maximum(off1, off2)
 
@@ -438,20 +491,11 @@ def stream_fit_exact(model, blocks, *, block_rows: int | None = None):
 
     model._stream = None  # a full fit restarts any partial_fit stream
     t0 = time.perf_counter()
-    k = model._n_components
     m = accumulate_moments(
         blocks, centering=model._centering, block_rows=block_rows,
         mesh=model._mesh,
     )
-    _check_stream_dims(m, k)
-    sigma, vt, off = exact_pca_from_gram(m, mesh=model._mesh)
-    # Certificate before mutation: a failed refit must leave a
-    # previously fitted model untouched.
-    _linalg.check_certificate(
-        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
-    )
-    k_full = min(m.n_samples, m.gram.shape[0])
-    _install_state(model, m, sigma[:k_full], vt, k)
+    _solve_exact(model, m)
     _install_stats(model, m, t0, FitStats)
     return model
 
@@ -464,25 +508,11 @@ def stream_fit_randomized(model, blocks, *, block_rows: int | None = None):
 
     model._stream = None  # a full fit restarts any partial_fit stream
     t0 = time.perf_counter()
-    k = model._n_components
     m = accumulate_moments(
         blocks, centering=model._centering, block_rows=block_rows,
         mesh=model._mesh,
     )
-    _check_stream_dims(m, k)
-    # Same stateful-RNG contract as fit(): successive fits consume
-    # successive subkeys (ref: the PCG advances across fits).
-    model._key, subkey = jax.random.split(model._key)
-    sigma, vt, off = randomized_pca_from_gram(
-        m, subkey, n_components=k,
-        n_oversamples=model._n_oversamples,
-        n_power_iters=model._n_power_iters,
-        mesh=model._mesh,
-    )
-    _linalg.check_certificate(
-        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
-    )
-    _install_state(model, m, sigma, vt, k)
+    _solve_randomized(model, m)
     _install_stats(model, m, t0, FitStats)
     return model
 
@@ -492,6 +522,35 @@ def _check_stream_dims(m: StreamMoments, k: int) -> None:
     for a stream, n is known only after the pass."""
     if m.gram.shape[0] < k or m.n_samples < k:
         raise InvalidInput(f"every dimension should be at least {k}")
+
+
+def _solve_exact(model, m: StreamMoments) -> None:
+    _check_stream_dims(m, model._n_components)
+    sigma, vt, off = exact_pca_from_gram(m, mesh=model._mesh)
+    # Certificate before mutation: a failed refit must leave a
+    # previously fitted model untouched.
+    _linalg.check_certificate(
+        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
+    )
+    k_full = min(m.n_samples, m.gram.shape[0])
+    _install_state(model, m, sigma[:k_full], vt, model._n_components)
+
+
+def _solve_randomized(model, m: StreamMoments) -> None:
+    _check_stream_dims(m, model._n_components)
+    # Same stateful-RNG contract as fit(): successive (partial) fits
+    # consume successive subkeys (ref: the PCG advances across fits).
+    model._key, subkey = jax.random.split(model._key)
+    sigma, vt, off = randomized_pca_from_gram(
+        m, subkey, n_components=model._n_components,
+        n_oversamples=model._n_oversamples,
+        n_power_iters=model._n_power_iters,
+        mesh=model._mesh,
+    )
+    _linalg.check_certificate(
+        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
+    )
+    _install_state(model, m, sigma, vt, model._n_components)
 
 
 def _install_state(model, m: StreamMoments, sigma, vt, k: int) -> None:
@@ -537,23 +596,6 @@ def transform_batched(model, blocks, *, block_rows: int | None = None):
     return np.concatenate(outs, axis=0)
 
 
-class _StreamState:
-    """Persistent accumulator for ``partial_fit`` (kept on the model
-    between calls; cleared by any ``fit``/``fit_batched``)."""
-
-    def __init__(self, block_rows: int, mesh):
-        self.block_rows = block_rows
-        self.mesh = mesh
-        self.carry = None  # (g, s, sq) float64 device arrays
-        self.shift = None  # device (d,) float64
-        self.shift_host = None
-        self.n = 0
-        self.n_blocks = 0
-        self.calls = 0
-        self.d = None
-        self.dtype = None
-
-
 def partial_fit_step(model, x_block, *, block_rows: int | None,
                      solve) -> None:
     """Shared ``partial_fit`` implementation: accumulate one more block
@@ -561,124 +603,47 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
     re-solve so the model is consistently fitted after every call
     (sklearn ``IncrementalPCA`` semantics).  The re-solve is d-sized
     (l×l / d×d eigensolves), so per-call cost is one block pass plus a
-    small factorization."""
+    small factorization.
+
+    Retry safety: this call's chunks are materialized and validated
+    BEFORE anything is accumulated, so a malformed block (or a raising
+    user generator) leaves the stream untouched.  Zero new rows on an
+    existing stream is a no-op (no PRNG subkey is consumed, the fitted
+    state and stats are unchanged).  If the SOLVE fails, the
+    accumulated rows legitimately remain in the stream (the model
+    itself is untouched); the next successful call includes them."""
     import time
 
     from ..utils.profiling import FitStats
 
     t0 = time.perf_counter()
-    if model._mesh is not None and jax.process_count() > 1:
-        raise InvalidInput(
-            "streamed fits support single-process meshes only "
-            "(multi-host streams would need per-process block feeds)"
-        )
+    _check_stream_mesh(model._mesh)
     st = getattr(model, "_stream", None)
     if st is None:
-        if block_rows is None:
-            block_rows = _DEFAULT_BLOCK_ROWS
-        _check_block_rows(block_rows)
-        if model._mesh is not None:
-            n_dev = model._mesh.size
-            block_rows = -(-block_rows // n_dev) * n_dev
-        st = _StreamState(block_rows, model._mesh)
+        st = _StreamState(
+            _resolve_block_rows(block_rows, model._mesh), model._mesh
+        )
         model._stream = st
-    elif block_rows is not None and block_rows != st.block_rows:
+    elif (
+        block_rows is not None
+        and _resolve_block_rows(block_rows, model._mesh) != st.block_rows
+    ):
         raise InvalidInput(
             f"block_rows is fixed at {st.block_rows} by the first "
             "partial_fit call (one compiled step per stream)"
         )
 
-    if st.mesh is not None:
-        from ..parallel.mesh import replicated_sharding, row_sharding
-
-        put_block = partial(jax.device_put, device=row_sharding(st.mesh))
-        put_repl = partial(
-            jax.device_put, device=replicated_sharding(st.mesh)
-        )
-    else:
-        put_block = jax.device_put
-        put_repl = jax.device_put
-
-    centering = model._centering
-    for chunk, n_valid in _uniform_chunks(
+    chunks = list(_uniform_chunks(
         _iter_input_blocks(x_block, st.block_rows), st.block_rows,
-    ):
-        if st.carry is None:
-            st.d = chunk.shape[1]
-            st.dtype = chunk.dtype
-            shift = (
-                chunk[:n_valid].mean(axis=0, dtype=np.float64)
-                if centering
-                else np.zeros((st.d,), np.float64)
-            )
-            st.shift_host = shift
-            st.shift = put_repl(shift)
-            st.carry = (
-                put_repl(np.zeros((st.d, st.d), np.float64)),
-                put_repl(np.zeros((st.d,), np.float64)),
-                put_repl(np.zeros((), np.float64)),
-            )
-        elif chunk.shape[1] != st.d:
-            raise InvalidInput(
-                f"inconsistent block widths: expected {st.d}, "
-                f"got {chunk.shape[1]}"
-            )
-        elif np.dtype(chunk.dtype) != st.dtype:
-            raise InvalidInput(
-                f"block dtype {chunk.dtype} does not match the stream "
-                f"dtype {st.dtype} (fixed by the first partial_fit)"
-            )
-        st.carry = _accum_step(
-            st.carry, put_block(chunk), st.shift, n_valid,
-            precision="highest",
-        )
-        st.n += n_valid
-        st.n_blocks += 1
+        dtype_hint=st.dtype,
+    ))
+    if not chunks and st.carry is not None:
+        return  # nothing new: no-op
+    _accumulate_chunks(st, chunks, model._centering)
     if st.carry is None:
         raise InvalidInput("empty stream: no data blocks")
-
-    g, s, sq = st.carry
-    if centering:
-        means64, gc, tv, r = _finalize_centered(
-            g, s, sq, st.shift, float(st.n)
-        )
-        means = means64.astype(st.dtype)
-    else:
-        means = jnp.zeros((st.d,), st.dtype)
-        gc, tv = g, sq
-        r = jnp.zeros((), jnp.float64)
-    m = StreamMoments(
-        means, gc, tv, r, n_samples=st.n, n_blocks=st.n_blocks,
-        dtype=jnp.dtype(st.dtype),
-    )
-    # Donation note: _finalize_centered does NOT donate, and the solve
-    # only reads m.gram, so st.carry stays valid for the next call.
     st.calls += 1
+    m = _moments_from_state(st, model._centering)
     solve(model, m)
     _install_stats(model, m, t0, FitStats)
     model.last_fit_stats_.extra["partial_fit_calls"] = st.calls
-
-
-def _solve_exact(model, m: StreamMoments) -> None:
-    _check_stream_dims(m, model._n_components)
-    sigma, vt, off = exact_pca_from_gram(m, mesh=model._mesh)
-    _linalg.check_certificate(
-        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
-    )
-    k_full = min(m.n_samples, m.gram.shape[0])
-    _install_state(model, m, sigma[:k_full], vt, model._n_components)
-
-
-def _solve_randomized(model, m: StreamMoments) -> None:
-    _check_stream_dims(m, model._n_components)
-    model._key, subkey = jax.random.split(model._key)
-    sigma, vt, off = randomized_pca_from_gram(
-        m, subkey, n_components=model._n_components,
-        n_oversamples=model._n_oversamples,
-        n_power_iters=model._n_power_iters,
-        mesh=model._mesh,
-    )
-    _linalg.check_certificate(
-        off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
-    )
-    _install_state(model, m, sigma, vt, model._n_components)

@@ -42,6 +42,8 @@ def _model_state(model) -> tuple[dict, dict]:
             meta[name] = None
         elif name == "last_fit_stats_":
             continue  # transient observability data, not model state
+        elif name == "_mixing_cache":
+            continue  # identity-keyed derived cache; recomputed on use
         elif name == "_stream":
             # partial_fit accumulator: process-local device buffers.  A
             # restored model transforms identically and can start a NEW

@@ -431,3 +431,95 @@ def test_partial_fit_on_mesh():
         np.asarray(ref.singular_values_),
         rtol=1e-11,
     )
+
+
+def test_partial_fit_uncentered_survives_donation():
+    """Review regression: with centering=False, installed state
+    (total_variance/gram-derived values) must not alias the donated
+    carry — the next partial_fit call would delete it."""
+    x = _data(n=600, d=8)
+    m = pdt.Pca(2, centering=False)
+    m.partial_fit(x[:300], block_rows=128)
+    tv1 = float(m._total_variance)
+    ratio1 = np.asarray(m.explained_variance_ratio()).copy()
+    m.partial_fit(x[300:], block_rows=128)
+    # The PREVIOUS call's values must still be materializable had we
+    # kept references (simulate by checking the new fit is consistent
+    # and no deleted-array error was raised above).
+    assert float(m._total_variance) > tv1
+    assert np.all(np.isfinite(ratio1))
+
+
+def test_partial_fit_bad_block_is_retry_safe():
+    """Review regression: a malformed block later in a call must not
+    leave earlier blocks of that call in the stream."""
+    x = _data(n=800, d=8)
+    m = pdt.Pca(2).partial_fit(x[:400], block_rows=128)
+    with pytest.raises(InvalidInput):
+        m.partial_fit([x[400:600], x[:10, :5]])  # wrong width later
+    assert m._n_samples == 400  # nothing from the failed call
+    m.partial_fit([x[400:600], x[600:]])
+    assert m._n_samples == 800
+    ref = pdt.Pca(2).fit_batched(x, block_rows=128)
+    np.testing.assert_allclose(
+        np.asarray(m.singular_values_),
+        np.asarray(ref.singular_values_),
+        rtol=1e-12,
+    )
+
+
+def test_partial_fit_zero_rows_is_noop():
+    x = _data(n=400, d=8)
+    r = pdt.RandomizedPca(2, seed=3).partial_fit(x, block_rows=128)
+    k1 = np.asarray(jax.random.key_data(r._key))
+    sig = np.asarray(r.singular_values_).copy()
+    r.partial_fit(np.zeros((0, 8)))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(r._key)), k1
+    )
+    np.testing.assert_array_equal(np.asarray(r.singular_values_), sig)
+    assert r._n_samples == 400
+
+
+def test_partial_fit_mesh_block_rows_consistent():
+    """Review regression: the same user block_rows must be accepted on
+    every call even when the mesh rounds it up internally."""
+    from petal_decomposition_tpu.parallel.mesh import make_mesh
+
+    x = _data(n=416, d=8)
+    mesh = make_mesh(8)
+    m = pdt.PcaBuilder(2).mesh(mesh).build()
+    m.partial_fit(x[:200], block_rows=100)  # rounds to 104
+    m.partial_fit(x[200:], block_rows=100)  # same value: must pass
+    assert m._n_samples == 416
+
+
+def test_partial_fit_dtype_upcast_matches_fit_batched_rule():
+    """Review regression: partial_fit across calls follows the same
+    safe-cast dtype rule as fit_batched within one stream."""
+    x64 = _data(n=400, d=8)
+    m = pdt.Pca(2).partial_fit(x64[:200], block_rows=128)
+    m.partial_fit(x64[200:].astype(np.float32))  # safe upcast into f64
+    assert np.asarray(m.singular_values_).dtype == np.float64
+    assert m._n_samples == 400
+
+
+def test_randomized_stream_components_orthonormal_when_deficient():
+    """Dead sketch directions yield an orthonormal completion (like the
+    in-core eigh behavior), not zero rows."""
+    rng = np.random.default_rng(0)
+    x = np.outer(rng.normal(size=400), rng.normal(size=12))
+    x = x + 1e-9 * rng.normal(size=(400, 12))
+    r = pdt.RandomizedPca(3, seed=1).fit_batched(x, block_rows=128)
+    vt = np.asarray(r.components_)
+    np.testing.assert_allclose(vt @ vt.T, np.eye(3), atol=1e-5)
+
+
+def test_mixing_cache_invalidated_by_refit():
+    x = _data(n=300, d=4)
+    ica = pdt.FastIca.with_seed(7).fit(x)
+    m1 = np.asarray(ica.mixing_)
+    assert ica.mixing_ is ica.mixing_  # cached
+    ica.fit(x[:200])
+    m2 = np.asarray(ica.mixing_)
+    assert m1.shape == m2.shape and not np.array_equal(m1, m2)
