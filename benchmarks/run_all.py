@@ -224,6 +224,46 @@ def config4_sharded():
     }
 
 
+def config5_streamed():
+    """Out-of-core streamed RandomizedPca (0.3.1): 1M×1024 f32 fed in
+    256k-row blocks vs the in-core fit of the same data — σ parity
+    plus the streaming overhead factor (blocked H2D + per-block steps
+    vs one resident fit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu import RandomizedPca
+
+    n, d, k, br = 1_000_000, 1024, 32, 262_144
+    x = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
+    xh = np.asarray(x)  # host copy: the stream source
+
+    ic = RandomizedPca(k, seed=7).fit(x)
+    _sync(ic.singular_values())
+    t0 = time.perf_counter()
+    ic = RandomizedPca(k, seed=7).fit(x)
+    _sync(ic.singular_values())
+    in_core_ms = (time.perf_counter() - t0) * 1e3
+
+    st = RandomizedPca(k, seed=7)
+    st.fit_batched(xh, block_rows=br)  # warm/compile
+    t0 = time.perf_counter()
+    st = RandomizedPca(k, seed=7)
+    st.fit_batched(xh, block_rows=br)
+    _sync(st.singular_values())
+    streamed_ms = (time.perf_counter() - t0) * 1e3
+
+    si = np.asarray(ic.singular_values_)
+    ss = np.asarray(st.singular_values_)
+    return {
+        "in_core_fit_ms": round(in_core_ms, 1),
+        "streamed_fit_ms": round(streamed_ms, 1),
+        "blocks": st.last_fit_stats_.extra["streamed_blocks"],
+        "stream_gbps": round(n * d * 4 / (streamed_ms / 1e3) / 1e9, 2),
+        "sigma_rel_vs_in_core": float(np.max(np.abs(ss - si) / si)),
+    }
+
+
 def main():
     results = {}
     for name, fn in [
@@ -231,6 +271,7 @@ def main():
         ("config2_randomized_100kx1024_f64", config2_randomized_f64),
         ("config3_fastica_64x100k_f32", config3_fastica),
         ("config4_sharded", config4_sharded),
+        ("config5_streamed_1Mx1024_f32", config5_streamed),
     ]:
         t0 = time.perf_counter()
         try:
