@@ -80,3 +80,50 @@ def test_randomized_fused_centering_offset_fuzz(seed, offset):
     tv = float(st["total_variance"])
     tv_ref = (xc ** 2).sum()
     assert abs(tv - tv_ref) / tv_ref < 1e-5
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_streamed_fit_fuzz(seed):
+    """Random shapes, offsets, and block partitions: streamed ==
+    in-core gram fit; arbitrary re-partitions of the same data agree."""
+    rng = np.random.default_rng(300 + seed)
+    for n, d in ((37, 5), (129, 12), (500, 31), (64, 64)):
+        offset = float(rng.uniform(-50, 50))
+        x = rng.standard_normal((n, d)) * rng.uniform(0.5, 4, d) + offset
+        k = int(rng.integers(1, min(n, d) + 1))
+        ref = Pca(k, solver="gram").fit(x)
+
+        # Random partition into blocks, random block_rows.
+        cuts = np.sort(rng.integers(0, n + 1, size=rng.integers(0, 4)))
+        blocks = np.split(x, cuts)
+        br = int(rng.integers(1, n + 2))
+        st = Pca(k).fit_batched(blocks, block_rows=br)
+        s_ref = np.asarray(ref.singular_values_)
+        np.testing.assert_allclose(
+            np.asarray(st.singular_values_), s_ref,
+            rtol=1e-9, atol=1e-9 * max(s_ref[0], 1),
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.mean_), np.asarray(ref.mean_),
+            atol=1e-10 * max(abs(offset), 1),
+        )
+
+        # partial_fit over a second random partition agrees.  Early
+        # calls may reject the solve while cumulative n < k — the
+        # accumulated rows stay in the stream (documented), so the
+        # final state still covers everything.
+        from petal_decomposition_tpu.errors import InvalidInput
+
+        cuts2 = np.sort(rng.integers(0, n + 1, size=rng.integers(1, 4)))
+        m = Pca(k)
+        fed = 0
+        for b in np.split(x, cuts2):
+            fed += b.shape[0]
+            try:
+                m.partial_fit(b, block_rows=br)
+            except InvalidInput:
+                assert fed < k or b.shape[0] == 0
+        np.testing.assert_allclose(
+            np.asarray(m.singular_values_), s_ref,
+            rtol=1e-9, atol=1e-9 * max(s_ref[0], 1),
+        )
