@@ -217,3 +217,23 @@ def test_effective_platform_honors_default_device():
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         assert effective_platform() == "cpu"
+
+
+def test_jacobi_eigh_tolerates_asymmetric_input():
+    """Regression: XLA grams are not bitwise symmetric; a ~1e-13
+    relative asymmetry must not stall the rotation sweeps above the
+    convergence certificate (the eigh reads the matrix like LAPACK
+    reads one triangle)."""
+    from petal_decomposition_tpu.ops.jacobi import jacobi_eigh
+    from petal_decomposition_tpu.ops.linalg import convergence_tol
+
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((12, 12))
+    a = b @ b.T
+    asym = rng.standard_normal((12, 12))
+    asym = (asym - asym.T) * (np.abs(a).max() * 1e-13)
+    w, v, off, _ = jacobi_eigh(a + asym)
+    assert float(off) <= convergence_tol(np.float64, 12)
+    np.testing.assert_allclose(
+        np.sort(w), np.linalg.eigvalsh(a), rtol=1e-10, atol=1e-10
+    )
