@@ -194,6 +194,11 @@ def eigh_psd_jit_cert(a):
         tracing = isinstance(a, jax.core.Tracer)
         ok = jk64.probed() is True if tracing else jk64.kernel_available()
         if ok and jk64.supports(n, n, a.dtype):
+            # Same one-triangle semantics as _jacobi_eigh_core: XLA
+            # grams are not bitwise symmetric and the asymmetry scales
+            # with the mean-domination ratio; the one-sided kernel has
+            # no stall mode but symmetrizing halves the perturbation.
+            a = (a + a.conj().T) / 2
             a_rot, v, off = jk64.jacobi_svd_vmem_f64(a)
             lam = jnp.sqrt(jnp.sum(a_rot * a_rot, axis=0))
             order = jnp.argsort(lam)  # ascending, LAPACK convention
