@@ -22,6 +22,16 @@ from petal_decomposition_tpu.parallel import make_mesh
 
 RNG_SEED = 1_234_567_891_011_121_314
 
+# Forcing non-convergence works by capping the in-house Jacobi sweep
+# budget; the ``xla`` backend dispatches to jnp.linalg/LAPACK, which has
+# no such cap and handles its own convergence internally (emitting
+# certificates of exactly 0) — these tests are Jacobi-backend-specific
+# by construction, like the reference's info!=0 checks are LAPACK's.
+pytestmark = pytest.mark.skipif(
+    config.linalg_backend == "xla",
+    reason="forced non-convergence requires the Jacobi sweep cap",
+)
+
 
 @pytest.fixture
 def one_sweep():

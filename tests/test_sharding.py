@@ -164,7 +164,12 @@ def test_fast_ica_sharded_ns_decorrelation_matches_unsharded(mesh):
     )
     sh.fit(x)
     c1, c2 = np.asarray(ref.components()), np.asarray(sh.components())
-    assert np.max(np.abs(c1 - c2)) < 1e-6
+    # Per-row sign alignment: the unsharded fit whitens via SVD, the
+    # sharded pipeline via Gram/eigh — their sign conventions differ by
+    # backend (observed under PETAL_LINALG_BACKEND=xla), and ICA
+    # components are sign-indeterminate by nature.
+    signs = np.sign(np.sum(c1 * c2, axis=1))[:, None]
+    assert np.max(np.abs(c1 - c2 * signs)) < 1e-6
 
 
 def test_fast_ica_sharded_matches_eigh_whitening_unsharded(mesh):
