@@ -421,7 +421,16 @@ class FastIca:
     def inverse_transform(self, y):
         """Reconstruct signals in the original feature space:
         ``y·mixing_ᵀ + μ`` (sklearn-compatible extension; exact
-        round-trip of ``transform`` when k = d)."""
+        round-trip of ``transform`` when k = d).
+
+        >>> import numpy as np
+        >>> from petal_decomposition_tpu import FastIca
+        >>> x = np.array([[0., 1.], [2., 0.], [1., 3.], [3., 2.]])
+        >>> m = FastIca.with_seed(42).fit(x)
+        >>> xr = np.asarray(m.inverse_transform(m.transform(x)))
+        >>> bool(np.abs(xr - x).max() < 1e-8)
+        True
+        """
         y = _common.as_matrix(y)
         _common.check_fitted(self._components)
         if y.shape[1] != self._components.shape[0]:

@@ -179,7 +179,15 @@ class Pca:
         than HBM (or host RAM, via memmap) fits on one chip.  No
         reference analogue (its fits require the whole matrix in RAM,
         pca.rs:195-231); accuracy/sign contract in
-        :mod:`.streaming`.  Returns ``self``."""
+        :mod:`.streaming`.  Returns ``self``.
+
+        >>> import numpy as np
+        >>> from petal_decomposition_tpu import Pca
+        >>> x = np.arange(12.0).reshape(6, 2)
+        >>> m = Pca(1).fit_batched([x[:4], x[4:]], block_rows=4)
+        >>> bool(abs(float(m.singular_values_[0]) - 140 ** 0.5) < 1e-8)
+        True
+        """
         from . import streaming
 
         return streaming.stream_fit_exact(self, blocks,
