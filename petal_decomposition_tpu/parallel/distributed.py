@@ -554,6 +554,13 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
             b = xtm(q).conj().T  # (l, d) replicated: Qᴴ·Xc via one psum
     with jax.named_scope("svd_b"):
         u_b, sigma, vt, off = svd_jit_cert(b)
+    if q.shape[1] > l:
+        # The fused-kernel path widened Q with the ones (centering)
+        # column; its singular direction is ~0 and sorts last.  Drop it
+        # so fused and non-fused fits install identically-shaped state
+        # (sigma/_singular_full/u widths must not depend on whether the
+        # Pallas kernel probe succeeded).
+        u_b, sigma, vt = u_b[:, :l], sigma[:l], vt[:l]
     with jax.named_scope("recover_u"):
         u = mdot(q, u_b)  # (n, l) sharded
     u, vt = svd_flip(u, vt)

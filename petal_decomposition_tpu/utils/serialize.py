@@ -78,6 +78,20 @@ def to_bytes(model) -> bytes:
     return buf.getvalue()
 
 
+def _default_instance(cls):
+    """A default-constructed model used as the attribute baseline.
+
+    ``seed=0`` keeps construction deterministic and host-side (threefry
+    key derivation only — no device work); the file's own key data
+    overwrites it for models that carry one.
+    """
+    if cls.__name__ == "FastIca":
+        return cls(seed=0)
+    if cls.__name__ == "RandomizedPca":
+        return cls(0, seed=0)
+    return cls(0)
+
+
 def from_bytes(data: bytes):
     from ..models.fast_ica import FastIca
     from ..models.pca import Pca
@@ -95,6 +109,13 @@ def from_bytes(data: bytes):
             )
         cls = classes[meta.pop("__class__")]
         model = cls.__new__(cls)
+        # Backfill first: files written by older library versions lack
+        # fields added since (e.g. v0.2.0 archives have no _range_finder /
+        # _whiten).  Seed every attribute from a default-constructed
+        # instance, then let the file's values overwrite — a loaded old
+        # model refits with current defaults instead of AttributeError.
+        for name, value in vars(_default_instance(cls)).items():
+            setattr(model, name, value)
         for name, value in meta.items():
             setattr(model, name, value)
         for name in npz.files:

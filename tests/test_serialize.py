@@ -132,3 +132,50 @@ def test_future_format_version_rejected():
         json.dumps(meta).encode(), dtype=np.uint8), **arrays)
     with pytest.raises(ValueError, match="format v"):
         serialize.from_bytes(buf.getvalue())
+
+
+def _strip_meta_fields(data: bytes, fields: tuple[str, ...]) -> bytes:
+    """Rewrite an archive as an older library version would have written
+    it: the given meta fields absent entirely."""
+    import io
+    import json
+
+    with np.load(io.BytesIO(data)) as npz:
+        meta = json.loads(bytes(npz["__meta__"].tobytes()).decode())
+        arrays = {k: npz[k] for k in npz.files if k != "__meta__"}
+    for f in fields:
+        meta.pop(f, None)
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **arrays,
+    )
+    return buf.getvalue()
+
+
+def test_old_format_missing_fields_backfilled():
+    """Archives written before a field existed (e.g. v0.2.0 lacks
+    RandomizedPca._range_finder and FastIca._whiten) must load with
+    current constructor defaults — transform AND refit both work."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((40, 10))
+
+    pca = RandomizedPca.with_seed(2, RNG_SEED).fit(x)
+    old = _strip_meta_fields(
+        to_bytes(pca), ("_range_finder", "_gram_precision")
+    )
+    loaded = from_bytes(old)
+    assert loaded._range_finder == "auto"
+    assert loaded._gram_precision == "auto"
+    np.testing.assert_array_equal(
+        np.asarray(loaded.transform(x)), np.asarray(pca.transform(x))
+    )
+    loaded.fit(x)  # refit must not raise AttributeError
+
+    ica = FastIca.with_seed(RNG_SEED)
+    ica.fit(rng.standard_normal((200, 4)))
+    old = _strip_meta_fields(to_bytes(ica), ("_whiten",))
+    loaded = from_bytes(old)
+    assert loaded._whiten is True
+    loaded.fit(rng.standard_normal((200, 4)))

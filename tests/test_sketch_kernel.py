@@ -176,15 +176,21 @@ class TestFusedGramFlow:
         tv1, tv2 = float(st1["total_variance"]), float(st2["total_variance"])
         assert abs(tv2 - tv1) / tv1 < 1e-5
 
-    def test_no_centering_skips_ones_column(self, interpret):
+    def test_state_shapes_independent_of_fused_path(self, interpret):
+        """Serialized state must not depend on whether the Pallas kernel
+        probe succeeded: the fused path's appended ones column is
+        truncated after the projected SVD, so sigma/u/vt come out the
+        same l-wide shape on every path and centering mode."""
         x = _data(4200, 64, offset=0.0)
         st = self._fit(x, fused=True, cfg=("interp-nc",))
+        st_plain = self._fit(x, fused=False, cfg=("interp-plain",))
         stn = randomized_pca_fit(
             jnp.asarray(x), key_from_seed(11), n_components=6,
             normalizer="cholqr2", range_finder="gram",
             gram_precision="default", fused_sketch=True,
             centering=False, cfg=("interp-nc2",),
         )
-        # centering=False keeps the plain l-wide panel.
-        assert stn["sigma"].shape[0] == st["sigma"].shape[0] - 1
+        for name in ("sigma", "u", "vt"):
+            assert st[name].shape == st_plain[name].shape
+            assert stn[name].shape == st[name].shape
         assert np.all(np.asarray(stn["means"]) == 0)
