@@ -400,6 +400,39 @@ class FastIca:
             stats.n_iter = self._n_iter
         return self
 
+    def fit_batched(self, data, *, block_rows: int | None = None) -> "FastIca":
+        """Out-of-core fit in two streamed passes: pass 1 accumulates
+        the d×d Gram + moments (→ the eigh whitening K), pass 2 streams
+        ``X₁ = K·(X − μ)ᵀ·√n`` into an HBM-resident k×n buffer, and the
+        in-core ``ica_par`` runs on it unchanged — the reference's full
+        capability (ica.rs:167-221) at n unbounded by host RAM.  ``data``
+        must be re-iterable (a 2-D array-like such as ``np.memmap``, a
+        sequence of blocks, or a zero-arg callable returning the
+        stream); k×n must fit device memory (checked).  Matches the
+        in-core ``whiten_solver="eigh"`` fit at the same key up to
+        accumulation roundoff.  Returns ``self``.
+
+        >>> import numpy as np
+        >>> from petal_decomposition_tpu import FastIca
+        >>> rng = np.random.default_rng(0)
+        >>> x = rng.laplace(size=(600, 3)) @ rng.standard_normal((3, 3))
+        >>> m = FastIca.with_seed(42).fit_batched([x[:256], x[256:]])
+        >>> m.components().shape
+        (3, 3)
+        """
+        from . import streaming
+
+        return streaming.stream_fit_fast_ica(self, data,
+                                             block_rows=block_rows)
+
+    def transform_batched(self, blocks, *, block_rows: int | None = None):
+        """Unmix a stream block-by-block; returns the stacked (n, k)
+        host array."""
+        from . import streaming
+
+        return streaming.transform_batched(self, blocks,
+                                           block_rows=block_rows)
+
     @property
     def mixing_(self):
         """The pseudo-inverse of ``components_`` — the estimated mixing
@@ -692,12 +725,24 @@ def _whitening_matrix(xt, k: int, solver: str):
         # svd() raises LinalgError itself on non-convergence.
         u, sigma, _ = svd(xt, compute_vt=False)
         off = jnp.zeros((), jnp.real(sigma).dtype)
-    else:
-        gram = _linalg.mdot(xt, xt.conj().T)
-        lam, vecs, off = _linalg.eigh_psd_jit_cert(gram)  # ascending
-        lam = lam[::-1]
-        u = vecs[:, ::-1]
-        sigma = jnp.sqrt(jnp.maximum(lam, 0.0))
+        return (*_whitening_from_spectrum(u, sigma, k, max(xt.shape)), off)
+    return whitening_from_gram(
+        _linalg.mdot(xt, xt.conj().T), k, max(xt.shape)
+    )
+
+
+def whitening_from_gram(gram, k: int, rank_dim: int):
+    """``(K, sigma_k, off)`` from the centered d×d Gram alone — the eigh
+    branch of :func:`_whitening_matrix`, usable when the data itself is
+    never materialized (the streamed fit accumulates exactly this Gram,
+    :mod:`.streaming`).  ``rank_dim`` is max(n, d) for the rank cutoff."""
+    lam, vecs, off = _linalg.eigh_psd_jit_cert(gram)  # ascending
+    u = vecs[:, ::-1]
+    sigma = jnp.sqrt(jnp.maximum(lam[::-1], 0.0))
+    return (*_whitening_from_spectrum(u, sigma, k, rank_dim), off)
+
+
+def _whitening_from_spectrum(u, sigma, k: int, rank_dim: int):
     u_k = u[:, :k]
     sigma_k = sigma[:k]
     # Degenerate directions (σ ≈ 0 relative to σmax — e.g. the rank
@@ -714,11 +759,11 @@ def _whitening_matrix(xt, k: int, solver: str):
     # silently kills genuinely significant components (κ > ~17).  The
     # √-scaled factor tracks the statistical growth of accumulated
     # rounding instead.
-    cutoff = sigma[0] * eps * max(10.0, 4.0 * max(xt.shape) ** 0.5)
+    cutoff = sigma[0] * eps * max(10.0, 4.0 * rank_dim ** 0.5)
     ok = sigma_k > cutoff
     inv = jnp.where(ok, 1.0 / jnp.where(ok, sigma_k, 1), 0)
     kmat = (u_k * inv.astype(u_k.dtype)[None, :]).T
-    return kmat, sigma_k, off
+    return kmat, sigma_k
 
 
 class FastIcaBuilder:

@@ -41,10 +41,17 @@ Numerical contract (single pass, shifted accumulation):
   U-based ``svd_flip`` (pca.rs:815-850).  Documented deviation:
   streamed and in-core fits may differ by a per-component ±1.
 
-FastICA has no streamed fit: every ``ica_par`` iteration re-reads the
-whole whitened matrix (ica.rs:331-359), so an out-of-core ICA would
-re-stream the full dataset up to ``max_iter`` times — an algorithmic
-non-starter, not an implementation gap.
+FastICA streams in TWO passes (``FastIca.fit_batched``): the iteration
+itself must not re-read the n×d stream up to ``max_iter`` times, but it
+never needs to — ``ica_par`` runs on the *whitened* matrix X₁ (k × n),
+which for k ≪ d fits HBM at any n that matters (64 sources × 10M
+samples f32 is 2.5 GB).  Pass 1 accumulates the d×d Gram + moments
+(exactly :func:`accumulate_moments`) and yields the whitening K; pass 2
+streams ``X₁ = K·(X − μ)ᵀ·√n`` into an HBM-resident k×n buffer block by
+block; then the in-core ``ica_par`` runs unchanged.  The input must be
+re-iterable (a 2-D array-like, a sequence of blocks, or a zero-arg
+callable returning the stream); the k×n buffer must fit device memory
+(checked — the error states the bound).
 """
 
 from __future__ import annotations
@@ -483,12 +490,27 @@ def randomized_pca_from_gram(m: StreamMoments, key, *, n_components: int,
         )
 
 
+def _check_stream_solver(model) -> None:
+    """Streamed fits read σ off the Gram (κ² accuracy) — an explicit
+    ``solver="full"`` asked for the thin-SVD accuracy contract, which a
+    single-pass stream cannot deliver.  Reject instead of silently
+    downgrading what the user pinned."""
+    if getattr(model, "_solver", None) == "full":
+        raise InvalidInput(
+            "streamed fits are Gram-grade (sigma through the covariance "
+            "eigenproblem, kappa^2 sensitivity); solver='full' cannot be "
+            "honored in one pass - use solver='gram' or 'auto', or fit() "
+            "in core"
+        )
+
+
 def stream_fit_exact(model, blocks, *, block_rows: int | None = None):
     """Shared implementation of ``Pca.fit_batched``."""
     import time
 
     from ..utils.profiling import FitStats
 
+    _check_stream_solver(model)
     model._stream = None  # a full fit restarts any partial_fit stream
     t0 = time.perf_counter()
     m = accumulate_moments(
@@ -617,6 +639,7 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
     from ..utils.profiling import FitStats
 
     t0 = time.perf_counter()
+    _check_stream_solver(model)
     _check_stream_mesh(model._mesh)
     st = getattr(model, "_stream", None)
     if st is None:
@@ -647,3 +670,260 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
     solve(model, m)
     _install_stats(model, m, t0, FitStats)
     model.last_fit_stats_.extra["partial_fit_calls"] = st.calls
+
+
+# -- streamed FastICA (two passes) -------------------------------------
+
+
+def _reiterable_factory(data, step: int):
+    """A zero-arg factory over ``data``'s blocks, for algorithms that
+    need TWO passes.  2-D array-likes re-slice, sequences re-iterate,
+    callables re-invoke; a one-shot iterator cannot replay and is
+    rejected with the workaround spelled out."""
+    if hasattr(data, "ndim") and getattr(data, "ndim", None) == 2:
+        return lambda: _iter_input_blocks(data, step)
+    if callable(data):
+        return data
+    try:
+        one_shot = iter(data) is data
+    except TypeError as e:
+        raise InvalidInput(
+            f"expected a 2-D array-like, a sequence of blocks, or a "
+            f"callable returning the block stream; got {type(data).__name__}"
+        ) from e
+    if one_shot:
+        raise InvalidInput(
+            "streamed FastICA reads the data twice (moments pass, then "
+            "the whitened-fill pass) but got a one-shot iterator; pass "
+            "a 2-D array-like (e.g. np.memmap), a list of blocks, or a "
+            "zero-arg callable returning a fresh iterator"
+        )
+    return lambda: iter(data)
+
+
+def _hbm_bytes_limit() -> int | None:
+    """The accelerator's memory budget for the whitened buffer.  Env
+    ``PETAL_STREAM_ICA_HBM_BYTES`` overrides (also how tests pin the
+    error path); on backends that expose no ``bytes_limit`` (CPU —
+    where host RAM is the working bound) the check is skipped."""
+    import os
+
+    env = os.environ.get("PETAL_STREAM_ICA_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return None
+
+
+def _check_ica_buffer_budget(k: int, n: int, dtype) -> None:
+    """The fit keeps X₁ (k×n) resident plus ~3 k×n iteration
+    temporaries (W·X₁, g(W·X₁), and the update's read of X₁ᵀ)."""
+    limit = _hbm_bytes_limit()
+    if limit is None:
+        return
+    need = 4 * k * n * jnp.dtype(dtype).itemsize
+    if need > limit:
+        raise InvalidInput(
+            f"streamed FastICA keeps the whitened k x n matrix on "
+            f"device: {k} x {n} {jnp.dtype(dtype).name} needs "
+            f"~{need / 2**30:.1f} GiB (4 k n itemsize) but the device "
+            f"reports {limit / 2**30:.1f} GiB; reduce n_components or "
+            f"the sample count"
+        )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _fill_whitened(buf, block, kmat, means, offset, scale):
+    """Write ``K·(block − μ)ᵀ·scale`` into ``buf[:, offset:]`` in place
+    (donated).  ``offset`` is a device scalar so every full-size block
+    reuses one compiled program."""
+    y = mdot(kmat, (block - means.astype(block.dtype)).T) * scale
+    return jax.lax.dynamic_update_slice(
+        buf, y.astype(buf.dtype), (jnp.zeros((), offset.dtype), offset)
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _fill_transposed(buf, block, offset):
+    """``whiten=False`` fill: the raw transposed block."""
+    return jax.lax.dynamic_update_slice(
+        buf,
+        block.T.astype(buf.dtype),
+        (jnp.zeros((), offset.dtype), offset),
+    )
+
+
+def _fill_pass(factory, block_rows: int, n: int, d: int, dtype,
+               fill_chunk) -> None:
+    """Second streamed pass: feed every chunk (true-size tail — at most
+    two compiled shapes) through ``fill_chunk(device_chunk, offset)``,
+    validating that the stream replayed identically to pass 1."""
+    filled = 0
+    for chunk, n_valid in _uniform_chunks(
+        _iter_input_blocks(factory(), block_rows), block_rows,
+        pad_tail=False, dtype_hint=dtype,
+    ):
+        if chunk.shape[1] != d:
+            raise InvalidInput(
+                f"stream changed between passes: expected {d} columns, "
+                f"got {chunk.shape[1]}"
+            )
+        if filled + n_valid > n:
+            raise InvalidInput(
+                "stream changed between passes: more rows on the second "
+                f"pass than the {n} accumulated on the first"
+            )
+        fill_chunk(jax.device_put(chunk), filled)
+        filled += n_valid
+    if filled != n:
+        raise InvalidInput(
+            f"stream changed between passes: {filled} rows on the "
+            f"second pass vs {n} on the first"
+        )
+
+
+def stream_fit_fast_ica(model, data, *, block_rows: int | None = None):
+    """Shared implementation of ``FastIca.fit_batched`` (two passes;
+    module docstring has the scheme).  Matches the in-core
+    ``whiten_solver="eigh"`` fit at the same key: pass 1's f64 shifted
+    Gram IS the in-core whitening Gram, the key-split order is
+    identical, and ``ica_par`` runs on the same X₁ up to accumulation
+    roundoff."""
+    import time
+
+    from ..utils.profiling import FitStats
+    from . import fast_ica as fi
+
+    if model._mesh is not None:
+        raise InvalidInput(
+            "streamed FastICA is single-device (the whitened k x n "
+            "buffer is HBM-resident); drop the mesh or fit() in core"
+        )
+    t0 = time.perf_counter()
+    block_rows = _resolve_block_rows(block_rows, None)
+    factory = _reiterable_factory(data, block_rows)
+
+    if not model._whiten:
+        return _stream_fit_no_whiten(
+            model, factory, block_rows, t0, FitStats, fi
+        )
+
+    m = accumulate_moments(
+        factory(), centering=True, block_rows=block_rows
+    )
+    n, d = m.n_samples, int(m.gram.shape[0])
+    k = min(n, d)
+    if model._n_components is not None:
+        if model._n_components > k:
+            raise InvalidInput(f"n_components should be at most {k}")
+        k = model._n_components
+    if k == 0:  # n_components=0: mirror the in-core degenerate fit
+        model._components = jnp.zeros((0, d), m.dtype)
+        model._means = m.means
+        model._n_iter = 0
+        _install_stats(model, m, t0, FitStats)
+        return model
+
+    kmat, _sigma, off = fi.whitening_from_gram(
+        m.gram.astype(m.dtype), k, max(n, d)
+    )
+    _linalg.check_certificate(off, m.dtype, d, "eigendecomposition")
+    _check_ica_buffer_budget(k, n, m.dtype)
+
+    buf = jnp.zeros((k, n), m.dtype)
+    scale = jnp.asarray(np.sqrt(n), m.dtype)
+    means_dev = jax.device_put(m.means)
+    kmat_dev = kmat
+
+    def fill_chunk(dev, offset):
+        nonlocal buf
+        buf = _fill_whitened(
+            buf, dev, kmat_dev, means_dev,
+            jnp.asarray(offset, jnp.int32), scale,
+        )
+
+    _fill_pass(factory, block_rows, n, d, m.dtype, fill_chunk)
+
+    model._key, subkey = jax.random.split(model._key)
+    from ..utils import rng as rng_util
+
+    w_init = rng_util.normal(subkey, (k, k), m.dtype)
+    w, n_iter = fi.ica_par(
+        buf, model._tol, model._max_iter, w_init, fun=model._fun,
+        decorrelation=fi.resolve_decorrelation(model._decorrelation),
+        precision=fi.resolve_iteration_precision(
+            model._iteration_precision, m.dtype
+        ),
+    )
+    fi.check_decorrelation(w)
+    model._components = mdot(w, kmat)
+    model._means = m.means
+    model._n_iter = n_iter
+    _install_stats(model, m, t0, FitStats)
+    model.last_fit_stats_.n_iter = n_iter
+    return model
+
+
+def _stream_fit_no_whiten(model, factory, block_rows: int, t0,
+                          FitStats, fi):
+    """``whiten=False`` streamed fit: the data is certified pre-centered
+    and pre-whitened, so pass 1 only measures the stream's extent (no
+    Gram) and pass 2 fills the d×n transposed buffer ``ica_par`` runs
+    on."""
+    n = 0
+    d = None
+    dtype = None
+    n_blocks = 0
+    for chunk, n_valid in _uniform_chunks(
+        _iter_input_blocks(factory(), block_rows), block_rows,
+        pad_tail=False,
+    ):
+        if d is None:
+            d, dtype = chunk.shape[1], chunk.dtype
+        n += n_valid
+        n_blocks += 1
+    if d is None:
+        raise InvalidInput("empty stream: no data blocks")
+    if n == 0 or d == 0:
+        raise InvalidInput(
+            "whiten=False requires non-empty data (the square "
+            "d x d unmixing W is undefined for empty input)"
+        )
+    _check_ica_buffer_budget(d, n, dtype)
+
+    buf = jnp.zeros((d, n), dtype)
+
+    def fill_chunk(dev, offset):
+        nonlocal buf
+        buf = _fill_transposed(buf, dev, jnp.asarray(offset, jnp.int32))
+
+    _fill_pass(factory, block_rows, n, d, dtype, fill_chunk)
+
+    model._key, subkey = jax.random.split(model._key)
+    from ..utils import rng as rng_util
+
+    w_init = rng_util.normal(subkey, (d, d), dtype)
+    w, n_iter = fi.ica_par(
+        buf, model._tol, model._max_iter, w_init, fun=model._fun,
+        decorrelation=fi.resolve_decorrelation(model._decorrelation),
+        precision=fi.resolve_iteration_precision(
+            model._iteration_precision, dtype
+        ),
+    )
+    fi.check_decorrelation(w)
+    model._components = w
+    model._means = jnp.zeros((d,), jnp.asarray(buf).real.dtype)
+    model._n_iter = n_iter
+    stats = FitStats(
+        wall_time_s=__import__("time").perf_counter() - t0,
+        n_samples=n, n_features=d,
+    )
+    stats.n_iter = n_iter
+    stats.extra["streamed_blocks"] = n_blocks
+    model.last_fit_stats_ = stats
+    return model

@@ -523,3 +523,135 @@ def test_mixing_cache_invalidated_by_refit():
     ica.fit(x[:200])
     m2 = np.asarray(ica.mixing_)
     assert m1.shape == m2.shape and not np.array_equal(m1, m2)
+
+
+def test_stream_rejects_solver_full():
+    """An explicit solver="full" pins the thin-SVD accuracy contract;
+    a single-pass stream is Gram-grade and must refuse rather than
+    silently downgrade (fit_batched AND partial_fit)."""
+    import pytest
+
+    x = np.random.default_rng(0).standard_normal((64, 6))
+    m = pdt.Pca(2, solver="full")
+    with pytest.raises(pdt.InvalidInput, match="Gram-grade"):
+        m.fit_batched([x])
+    with pytest.raises(pdt.InvalidInput, match="Gram-grade"):
+        m.partial_fit(x)
+    # solver="gram" and the default "auto" both stream fine.
+    pdt.Pca(2, solver="gram").fit_batched([x])
+    pdt.Pca(2).fit_batched([x])
+
+
+# -- streamed FastICA ---------------------------------------------------
+
+
+def _ica_data(n=4000, k=3, seed=5, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 50, n)
+    s = np.c_[np.sin(2 * t), np.sign(np.sin(3 * t)), rng.laplace(size=n)]
+    a = rng.standard_normal((k, k)) + np.eye(k) * 2
+    return (s @ a.T + 1.5).astype(dtype)
+
+
+def test_stream_fast_ica_matches_in_core_eigh():
+    """fit_batched == the in-core whiten_solver="eigh" fit at the same
+    key: identical key-split order, pass-1 Gram == in-core whitening
+    Gram up to f64 accumulation roundoff, same ica_par on the same X1."""
+    x = _ica_data()
+    seed = 1_234_567_891_011_121_314
+    ic = pdt.FastIca.with_seed(seed)
+    ic._whiten_solver = "eigh"
+    ic.fit(x)
+    st = pdt.FastIca.with_seed(seed).fit_batched(
+        [x[:1500], x[1500:3100], x[3100:]], block_rows=1024
+    )
+    assert st.n_iter_ == ic.n_iter_
+    np.testing.assert_allclose(
+        np.asarray(st.components()), np.asarray(ic.components()),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.mean()), np.asarray(ic.mean()), rtol=1e-12
+    )
+    assert st.last_fit_stats_.extra["streamed_blocks"] >= 3
+    assert st.last_fit_stats_.n_iter == st.n_iter_
+
+
+def test_stream_fast_ica_unmixes_from_memmap_like_array():
+    """A single 2-D array-like streams host-side (memmap path) and the
+    recovered sources match the in-core unmixing."""
+    x = _ica_data(seed=7)
+    st = pdt.FastIca.with_seed(99).fit_batched(x, block_rows=700)
+    s_st = np.asarray(st.transform(x))
+    # Each recovered source should correlate ~1 with an in-core one.
+    ic = pdt.FastIca.with_seed(99)
+    ic._whiten_solver = "eigh"
+    s_ic = np.asarray(ic.fit(x).transform(x))
+    c = np.corrcoef(s_st.T, s_ic.T)[:3, 3:]
+    assert (np.abs(c).max(axis=1) > 0.999).all()
+    # transform_batched stacks the same projection.
+    tb = st.transform_batched([x[:1000], x[1000:]], block_rows=512)
+    np.testing.assert_allclose(tb, s_st, atol=1e-10)
+
+
+def test_stream_fast_ica_n_components_subset():
+    x = _ica_data(seed=11)
+    st = pdt.FastIca(seed=3, n_components=2).fit_batched(x)
+    assert st.components().shape == (2, 3)
+
+
+def test_stream_fast_ica_rejects_one_shot_iterator():
+    x = _ica_data()
+    gen = (b for b in [x[:2000], x[2000:]])
+    with pytest.raises(InvalidInput, match="one-shot"):
+        pdt.FastIca(seed=1).fit_batched(gen)
+    # A zero-arg callable replays fine.
+    m = pdt.FastIca(seed=1).fit_batched(
+        lambda: iter([x[:2000], x[2000:]])
+    )
+    assert m.components().shape == (3, 3)
+
+
+def test_stream_fast_ica_buffer_budget(monkeypatch):
+    x = _ica_data()
+    monkeypatch.setenv("PETAL_STREAM_ICA_HBM_BYTES", "1024")
+    with pytest.raises(InvalidInput, match="GiB"):
+        pdt.FastIca(seed=1).fit_batched(x)
+
+
+def test_stream_fast_ica_rejects_mesh():
+    from petal_decomposition_tpu.parallel import make_mesh
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    x = _ica_data()
+    with pytest.raises(InvalidInput, match="single-device"):
+        pdt.FastIca(seed=1, mesh=mesh).fit_batched(x)
+
+
+def test_stream_fast_ica_detects_stream_change():
+    x = _ica_data()
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return iter([x[:2000]] if calls["n"] > 1 else [x])
+
+    with pytest.raises(InvalidInput, match="changed between passes"):
+        pdt.FastIca(seed=1).fit_batched(factory)
+
+
+def test_stream_fast_ica_whiten_false_matches_in_core():
+    x = _ica_data(seed=13)
+    xc = x - x.mean(0)
+    u, s, _ = np.linalg.svd(xc, full_matrices=False)
+    xw = u * np.sqrt(x.shape[0])
+    ic = pdt.FastIca(whiten=False, seed=21).fit(xw)
+    st = pdt.FastIca(whiten=False, seed=21).fit_batched(
+        [xw[:1000], xw[1000:]], block_rows=512
+    )
+    assert st.n_iter_ == ic.n_iter_
+    np.testing.assert_allclose(
+        np.asarray(st.components()), np.asarray(ic.components()),
+        rtol=1e-8, atol=1e-10,
+    )
+    assert np.all(np.asarray(st.mean()) == 0)
