@@ -69,13 +69,53 @@ c_one = np.asarray(m1.components_)
 
 rel = float(np.max(np.abs(s_mesh - s_one) / s_one))
 align = float(np.min(np.abs(np.sum(c_mesh * c_one, axis=1))))
-ok = rel < 1e-4 and align > 1 - 1e-4
+
+# -- streamed multi-host fits: each process feeds its LOCAL rows ------
+from petal_decomposition_tpu import Pca
+
+x64 = x.astype(np.float64)
+half = N // 2
+x_loc = x64[:half] if pid == 0 else x64[half:]
+BR = 512  # same block_rows both sides -> same provisional shift
+
+st_mh = Pca(K, mesh=mesh).fit_batched(
+    [x_loc[:1100], x_loc[1100:]], block_rows=BR
+)
+st_1p = Pca(K).fit_batched(x64, block_rows=BR)
+s_st = float(np.max(np.abs(
+    np.asarray(st_mh.singular_values_) - np.asarray(st_1p.singular_values_)
+) / np.asarray(st_1p.singular_values_)))
+
+r_mh = RandomizedPca(K, seed=SEED, mesh=mesh).fit_batched(
+    x_loc, block_rows=BR
+)
+r_1p = RandomizedPca(K, seed=SEED).fit_batched(x64, block_rows=BR)
+s_rst = float(np.max(np.abs(
+    np.asarray(r_mh.singular_values_) - np.asarray(r_1p.singular_values_)
+) / np.asarray(r_1p.singular_values_)))
+
+# Collective partial_fit: both processes call in lockstep.
+pf = Pca(K, mesh=mesh)
+pf.partial_fit(x_loc[:700], block_rows=BR)
+pf.partial_fit(x_loc[700:], block_rows=BR)
+s_pf = float(np.max(np.abs(
+    np.asarray(pf.singular_values_) - np.asarray(st_1p.singular_values_)
+) / np.asarray(st_1p.singular_values_)))
+assert pf.last_fit_stats_.extra["partial_fit_calls"] == 2
+
+ok = (
+    rel < 1e-4 and align > 1 - 1e-4
+    and s_st < 1e-9 and s_rst < 1e-9 and s_pf < 1e-9
+)
 out = {
     "process_count": jax.process_count(),
     "global_devices": len(jax.devices()),
     "local_devices": len(jax.local_devices()),
     "sigma_rel_diff_vs_single_process": rel,
     "component_alignment_min": align,
+    "streamed_exact_sigma_rel_diff": s_st,
+    "streamed_randomized_sigma_rel_diff": s_rst,
+    "streamed_partial_fit_sigma_rel_diff": s_pf,
     "ok": bool(ok),
 }
 print(f"[proc {pid}] " + json.dumps(out), flush=True)

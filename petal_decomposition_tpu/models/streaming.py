@@ -127,7 +127,7 @@ class StreamMoments:
     """Result of one accumulation pass over a stream."""
 
     def __init__(self, means, gram, total_variance, shift_ratio,
-                 n_samples: int, n_blocks: int, dtype):
+                 n_samples: int, n_blocks: int, dtype, solve_mesh=None):
         self.means = means  # (d,) data dtype
         self.gram = gram  # (d, d) float64, centered when requested
         self.total_variance = total_variance  # f64 scalar
@@ -135,6 +135,11 @@ class StreamMoments:
         self.n_samples = n_samples
         self.n_blocks = n_blocks
         self.dtype = dtype
+        # Mesh for the factorization trace: the fit's mesh for a
+        # single-process stream, None for a multi-host one (the folded
+        # moments are identical on every process, so the d-sized solve
+        # runs replicated instead of as a cross-host GSPMD program).
+        self.solve_mesh = solve_mesh
 
 
 def _coerce_block(b, dtype):
@@ -235,13 +240,31 @@ def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True,
         yield np.concatenate([joined, pad]), have
 
 
+def _mesh_spans_processes(mesh) -> bool:
+    if mesh is None:
+        return False
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 class _StreamState:
     """Accumulator over uniform chunks — used once per ``fit_batched``
-    and persistently (on the model) by ``partial_fit``."""
+    and persistently (on the model) by ``partial_fit``.
+
+    A mesh spanning multiple processes switches the stream to
+    *multi-host* mode: every process feeds its own local blocks, the
+    accumulators live on local devices (no per-chunk cross-host
+    traffic), and one collective fold sums the per-process moments at
+    finalize time (:func:`_fold_process_moments`) — the streamed
+    analogue of the in-core sharded fits' psum.  The d-sized solve then
+    runs replicated (identical inputs → identical state on every
+    process)."""
 
     def __init__(self, block_rows: int, mesh):
         self.block_rows = block_rows
-        self.mesh = mesh
+        self.multihost = _mesh_spans_processes(mesh)
+        # Chunk placement: row-sharded over a single-process mesh;
+        # local-device in multi-host mode (each process owns its rows).
+        self.put_mesh = None if self.multihost else mesh
         self.carry = None  # (g, s, sq) float64 device arrays
         self.shift = None  # device (d,) float64
         self.n = 0
@@ -262,21 +285,74 @@ def _put_fns(mesh):
     return jax.device_put, jax.device_put
 
 
-def _check_stream_mesh(mesh) -> None:
-    if mesh is not None and jax.process_count() > 1:
-        raise InvalidInput(
-            "streamed fits support single-process meshes only "
-            "(multi-host streams would need per-process block feeds)"
-        )
-
-
 def _resolve_block_rows(block_rows: int | None, mesh) -> int:
     if block_rows is None:
         block_rows = _DEFAULT_BLOCK_ROWS
     _check_block_rows(block_rows)
-    if mesh is not None:
+    if mesh is not None and not _mesh_spans_processes(mesh):
         block_rows = -(-block_rows // mesh.size) * mesh.size
     return block_rows
+
+
+def _multihost_prologue(st: _StreamState, chunks, centering: bool):
+    """Multi-host stream setup: peek the first local chunk, agree on
+    the feature width and ONE provisional shift across processes (the
+    shifted-accumulation algebra needs a common shift so the fold can
+    simply sum the per-process moments), and hand the peeked chunk
+    back.  Collective — every process must reach it, which is why an
+    empty local stream is an error rather than a silent no-op (a
+    process that never joins the allgather deadlocks the others)."""
+    import itertools
+
+    from jax.experimental import multihost_utils
+
+    first = next(iter(chunks), None)
+    if first is None:
+        raise InvalidInput(
+            "multi-host streams require at least one block on every "
+            "process (collective shift consensus)"
+        )
+    chunk, n_valid = first
+    dims = multihost_utils.process_allgather(
+        np.asarray(chunk.shape[1], np.int64)
+    )
+    if not (dims == dims[0]).all():
+        raise InvalidInput(
+            f"inconsistent block widths across processes: {dims.tolist()}"
+        )
+    cand = (
+        np.asarray(chunk[:n_valid]).mean(axis=0, dtype=np.float64)
+        if centering
+        else np.zeros((chunk.shape[1],), np.float64)
+    )
+    shifts = multihost_utils.process_allgather(cand)
+    # Process 0's candidate — any consistent choice works; a
+    # representative one is what kills the re-centering cancellation.
+    st.shift = jax.device_put(shifts[0])
+    return itertools.chain([first], chunks)
+
+
+def _fold_process_moments(g, s, sq, n: int, n_blocks: int):
+    """Sum the per-process ``(g, s, sq, n, n_blocks)`` across the
+    cluster.  The gather is one collective per stream finalize (d×d f64
+    per process); the host-side sum is ordered by process index, so
+    every process computes bitwise-identical totals and the downstream
+    solve replicates exactly."""
+    from jax.experimental import multihost_utils
+
+    gs = multihost_utils.process_allgather(np.asarray(g))
+    ss = multihost_utils.process_allgather(np.asarray(s))
+    sqs = multihost_utils.process_allgather(np.asarray(sq))
+    ns = multihost_utils.process_allgather(
+        np.asarray([n, n_blocks], np.int64)
+    )
+    return (
+        jnp.asarray(gs.sum(axis=0)),
+        jnp.asarray(ss.sum(axis=0)),
+        jnp.asarray(sqs.sum(axis=0)),
+        int(ns[:, 0].sum()),
+        int(ns[:, 1].sum()),
+    )
 
 
 def _accumulate_chunks(st: _StreamState, chunks, centering: bool,
@@ -284,21 +360,22 @@ def _accumulate_chunks(st: _StreamState, chunks, centering: bool,
     """Fold ``(chunk, n_valid)`` pairs into ``st``.  A one-chunk H2D
     prefetch keeps the next transfer in flight while the current
     ``_accum_step`` runs."""
-    put_block, put_repl = _put_fns(st.mesh)
+    put_block, put_repl = _put_fns(st.put_mesh)
     pending = None
     for chunk, n_valid in chunks:
         if st.carry is None:
             st.d = chunk.shape[1]
             st.dtype = chunk.dtype
-            # Provisional shift: the first chunk's column mean.  Any
-            # shift works (the finalize re-centers exactly); a
-            # representative one is what kills the cancellation.
-            shift = (
-                chunk[:n_valid].mean(axis=0, dtype=np.float64)
-                if centering
-                else np.zeros((st.d,), np.float64)
-            )
-            st.shift = put_repl(shift)
+            if st.shift is None:  # multi-host consensus pre-sets it
+                # Provisional shift: the first chunk's column mean.  Any
+                # shift works (the finalize re-centers exactly); a
+                # representative one is what kills the cancellation.
+                shift = (
+                    chunk[:n_valid].mean(axis=0, dtype=np.float64)
+                    if centering
+                    else np.zeros((st.d,), np.float64)
+                )
+                st.shift = put_repl(shift)
             st.carry = (
                 put_repl(np.zeros((st.d, st.d), np.float64)),
                 put_repl(np.zeros((st.d,), np.float64)),
@@ -327,9 +404,14 @@ def _accumulate_chunks(st: _StreamState, chunks, centering: bool,
 
 def _moments_from_state(st: _StreamState, centering: bool) -> StreamMoments:
     g, s, sq = st.carry
+    n, n_blocks = st.n, st.n_blocks
+    if st.multihost:
+        g, s, sq, n, n_blocks = _fold_process_moments(
+            g, s, sq, n, n_blocks
+        )
     if centering:
         means64, gc, tv, r = _finalize_centered(
-            g, s, sq, st.shift, float(st.n)
+            g, s, sq, st.shift, float(n)
         )
         means = means64.astype(st.dtype)
     else:
@@ -342,8 +424,9 @@ def _moments_from_state(st: _StreamState, centering: bool) -> StreamMoments:
         gc, tv = g.copy(), sq.copy()
         r = jnp.zeros((), jnp.float64)
     return StreamMoments(
-        means, gc, tv, r, n_samples=st.n, n_blocks=st.n_blocks,
+        means, gc, tv, r, n_samples=n, n_blocks=n_blocks,
         dtype=jnp.dtype(st.dtype),
+        solve_mesh=st.put_mesh,
     )
 
 
@@ -356,19 +439,23 @@ def accumulate_moments(blocks, *, centering: bool = True,
     ``blocks`` is an iterable of 2-D row blocks (numpy arrays, lists, or
     anything ``np.asarray`` accepts — e.g. batches read from disk), or a
     single 2-D array-like sliced host-side (``np.memmap`` streams from
-    disk without ever materializing in RAM).  With ``mesh``, every chunk
-    is row-sharded across the (single-process) mesh and the accumulators
+    disk without ever materializing in RAM).  With a single-process
+    ``mesh``, every chunk is row-sharded across it and the accumulators
     replicate — the reductions compile to local matmuls + one psum, the
-    same GSPMD mapping as the in-core sharded fits.
+    same GSPMD mapping as the in-core sharded fits.  With a mesh
+    spanning processes, every process feeds its own local blocks and
+    one collective fold sums the per-process moments at the end
+    (see :class:`_StreamState`); the call is collective — all processes
+    must make it, each with at least one block.
     """
-    _check_stream_mesh(mesh)
     block_rows = _resolve_block_rows(block_rows, mesh)
     st = _StreamState(block_rows, mesh)
-    _accumulate_chunks(
-        st,
-        _uniform_chunks(_iter_input_blocks(blocks, block_rows), block_rows),
-        centering, precision,
+    chunks = _uniform_chunks(
+        _iter_input_blocks(blocks, block_rows), block_rows
     )
+    if st.multihost:
+        chunks = _multihost_prologue(st, chunks, centering)
+    _accumulate_chunks(st, chunks, centering, precision)
     if st.carry is None:
         raise InvalidInput("empty stream: no data blocks")
     return _moments_from_state(st, centering)
@@ -548,7 +635,7 @@ def _check_stream_dims(m: StreamMoments, k: int) -> None:
 
 def _solve_exact(model, m: StreamMoments) -> None:
     _check_stream_dims(m, model._n_components)
-    sigma, vt, off = exact_pca_from_gram(m, mesh=model._mesh)
+    sigma, vt, off = exact_pca_from_gram(m, mesh=m.solve_mesh)
     # Certificate before mutation: a failed refit must leave a
     # previously fitted model untouched.
     _linalg.check_certificate(
@@ -567,7 +654,7 @@ def _solve_randomized(model, m: StreamMoments) -> None:
         m, subkey, n_components=model._n_components,
         n_oversamples=model._n_oversamples,
         n_power_iters=model._n_power_iters,
-        mesh=model._mesh,
+        mesh=m.solve_mesh,
     )
     _linalg.check_certificate(
         off, sigma.dtype, m.gram.shape[0], "eigendecomposition"
@@ -640,7 +727,6 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
 
     t0 = time.perf_counter()
     _check_stream_solver(model)
-    _check_stream_mesh(model._mesh)
     st = getattr(model, "_stream", None)
     if st is None:
         st = _StreamState(
@@ -660,8 +746,15 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
         _iter_input_blocks(x_block, st.block_rows), st.block_rows,
         dtype_hint=st.dtype,
     ))
-    if not chunks and st.carry is not None:
-        return  # nothing new: no-op
+    if not chunks and st.carry is not None and not st.multihost:
+        # Nothing new: no-op.  Single-process only — a multi-host
+        # partial_fit is collective (every process joins the fold
+        # below), so it proceeds to re-solve even with zero new rows.
+        return
+    if st.multihost and st.carry is None:
+        chunks = list(
+            _multihost_prologue(st, iter(chunks), model._centering)
+        )
     _accumulate_chunks(st, chunks, model._centering)
     if st.carry is None:
         raise InvalidInput("empty stream: no data blocks")

@@ -24,4 +24,9 @@ def test_two_process_multihost(tmp_path):
     assert result["global_devices"] == 8
     assert result["sigma_rel_diff_vs_single_process"] < 1e-4
     assert result["component_alignment_min"] > 1 - 1e-4
+    # Streamed multi-host fits (per-process block feeds + moment fold)
+    # match the single-process stream to f64 roundoff.
+    assert result["streamed_exact_sigma_rel_diff"] < 1e-9
+    assert result["streamed_randomized_sigma_rel_diff"] < 1e-9
+    assert result["streamed_partial_fit_sigma_rel_diff"] < 1e-9
     assert result["ok"] is True
