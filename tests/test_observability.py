@@ -80,3 +80,27 @@ def test_cache_key_covers_trace_affecting_fields():
         assert config.cache_key() != before
     finally:
         config.jacobi_max_sweeps = old
+
+
+def test_trace_produces_artifact(tmp_path):
+    """utils.profiling.trace must actually write a profiler trace
+    (SURVEY §5 tracing row): a plugins/profile/<ts>/ dir with a
+    .trace.json.gz (Perfetto) or .xplane.pb artifact inside."""
+    import pathlib
+
+    from petal_decomposition_tpu.utils.profiling import trace
+
+    x = np.random.default_rng(0).standard_normal((256, 16))
+    with trace(str(tmp_path)):
+        Pca(4).fit(x)
+    produced = [
+        p for p in pathlib.Path(tmp_path).rglob("*")
+        if p.is_file() and (
+            p.name.endswith(".trace.json.gz")
+            or p.name.endswith(".xplane.pb")
+        )
+    ]
+    assert produced, (
+        f"no trace artifact under {tmp_path}: "
+        f"{[str(p) for p in pathlib.Path(tmp_path).rglob('*')]}"
+    )
