@@ -447,6 +447,21 @@ def accumulate_moments(blocks, *, centering: bool = True,
     one collective fold sums the per-process moments at the end
     (see :class:`_StreamState`); the call is collective — all processes
     must make it, each with at least one block.
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.models.streaming import (
+    ...     accumulate_moments)
+    >>> x = np.arange(8.0).reshape(4, 2)
+    >>> m = accumulate_moments([x[:2], x[2:]], block_rows=2)
+    >>> m.n_samples, m.n_blocks
+    (4, 2)
+    >>> np.asarray(m.means).tolist()  # column means
+    [3.0, 4.0]
+    >>> xc = x - x.mean(0)
+    >>> bool(np.allclose(np.asarray(m.gram), xc.T @ xc))
+    True
+    >>> float(m.total_variance) == float((xc ** 2).sum())
+    True
     """
     block_rows = _resolve_block_rows(block_rows, mesh)
     st = _StreamState(block_rows, mesh)
@@ -491,7 +506,19 @@ def _exact_solve(gc, cfg=None):
 def exact_pca_from_gram(m: StreamMoments, mesh=None):
     """Exact-PCA factors from accumulated moments: ``(sigma, vt, off)``
     descending, at the stream dtype (the covariance eigenproblem of
-    ``pca_fit_gram`` without the data-dependent thin-U)."""
+    ``pca_fit_gram`` without the data-dependent thin-U).
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.models.streaming import (
+    ...     accumulate_moments, exact_pca_from_gram)
+    >>> x = np.random.default_rng(0).standard_normal((200, 4))
+    >>> sigma, vt, off = exact_pca_from_gram(accumulate_moments([x]))
+    >>> s_ref = np.linalg.svd(x - x.mean(0), compute_uv=False)
+    >>> bool(np.max(np.abs(np.asarray(sigma) - s_ref) / s_ref) < 1e-9)
+    True
+    >>> vt.shape
+    (4, 4)
+    """
     ctx, suffix = _solve_ctx(m.dtype, mesh)
     with ctx:
         return _exact_solve(
@@ -563,7 +590,22 @@ def randomized_pca_from_gram(m: StreamMoments, key, *, n_components: int,
     the in-core pipeline's exact recovery reconstructed from the l×l
     algebra of G (see ``_randomized_solve`` — streamed σ match the
     in-core gram-finder fit to ~1e-15 f64 at the same seed).
-    Returns ``(sigma, vt, off)`` with ``l`` components."""
+    Returns ``(sigma, vt, off)`` with ``l`` components.
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.models.streaming import (
+    ...     accumulate_moments, randomized_pca_from_gram)
+    >>> from petal_decomposition_tpu.utils.rng import key_from_seed
+    >>> x = np.random.default_rng(1).standard_normal((300, 6))
+    >>> sigma, vt, off = randomized_pca_from_gram(
+    ...     accumulate_moments([x]), key_from_seed(7),
+    ...     n_components=2, n_oversamples=4, n_power_iters=4)
+    >>> sigma.shape, vt.shape  # l = 2 + 4 oversamples = d: full rank
+    ((6,), (6, 6))
+    >>> s_ref = np.linalg.svd(x - x.mean(0), compute_uv=False)
+    >>> bool(abs(float(sigma[0]) - s_ref[0]) / s_ref[0] < 1e-9)
+    True
+    """
     from ..utils import rng as rng_util
 
     d = m.gram.shape[0]

@@ -52,7 +52,14 @@ __all__ = [
 
 def mdot(a, b):
     """Matmul at the configured precision (default ``highest``: keeps f32
-    matmuls in true f32 — TPU's default bf16 path loses ~3 digits)."""
+    matmuls in true f32 — TPU's default bf16 path loses ~3 digits).
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.ops.linalg import mdot
+    >>> a = np.arange(6.0).reshape(2, 3)
+    >>> bool(np.allclose(np.asarray(mdot(a, a.T)), a @ a.T))
+    True
+    """
     return jnp.dot(a, b, precision=config.matmul_precision)
 
 
@@ -266,6 +273,18 @@ def svd(a, compute_vt: bool = True):
 
     Returns ``(u, s, vt)`` with u: (m, k), s: (k,) descending, vt: (k, n)
     or ``None``; k = min(m, n).
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.ops.linalg import svd
+    >>> a = np.random.default_rng(0).standard_normal((40, 6))
+    >>> u, s, vt = svd(a)
+    >>> u.shape, s.shape, vt.shape
+    ((40, 6), (6,), (6, 6))
+    >>> bool(np.all(np.diff(np.asarray(s)) <= 0))  # descending
+    True
+    >>> rec = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+    >>> bool(np.max(np.abs(rec - a)) < 1e-10)
+    True
     """
     a = jnp.asarray(a)
     if not isinstance(a, jax.core.Tracer) and _use_native(a.dtype, a.shape):
@@ -292,7 +311,16 @@ def svd(a, compute_vt: bool = True):
 def svddc(a):
     """Economy SVD of a small projected matrix (reference ``svddc``/gesdd,
     linalg.rs:101-122).  Same contract as :func:`svd` but always returns
-    vt."""
+    vt.
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.ops.linalg import svddc
+    >>> _, s, vt = svddc(np.diag([3.0, 2.0, 1.0]))
+    >>> np.asarray(np.round(s, 10)).tolist()
+    [3.0, 2.0, 1.0]
+    >>> vt.shape
+    (3, 3)
+    """
     return svd(a, compute_vt=True)
 
 
@@ -301,6 +329,14 @@ def eigh(a):
     LAPACK ``?syev``/``?heev`` convention (reference linalg.rs:39-60).
 
     Returns ``(w, v)``; eigenvectors are the columns of ``v``.
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.ops.linalg import eigh
+    >>> w, v = eigh(np.array([[2.0, 1.0], [1.0, 2.0]]))
+    >>> np.asarray(np.round(w, 10)).tolist()  # ascending
+    [1.0, 3.0]
+    >>> bool(np.allclose(np.asarray(v).T @ np.asarray(v), np.eye(2)))
+    True
     """
     a = jnp.asarray(a)
     if not isinstance(a, jax.core.Tracer) and _use_native(a.dtype, a.shape):
@@ -322,7 +358,16 @@ def eigh(a):
 def qr(a):
     """Economy QR: orthonormal basis of range(a) (reference linalg.rs:127-147,
     which computes it via LQ of the transpose).  Returns Q of shape
-    (m, min(m, n))."""
+    (m, min(m, n)).
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.ops.linalg import qr
+    >>> q = qr(np.random.default_rng(1).standard_normal((20, 4)))
+    >>> q.shape
+    (20, 4)
+    >>> bool(np.allclose(np.asarray(q).T @ np.asarray(q), np.eye(4)))
+    True
+    """
     q, _ = jnp.linalg.qr(jnp.asarray(a), mode="reduced")
     return q
 
@@ -335,6 +380,13 @@ def cholesky_qr2(a):
     single ``psum`` under row sharding.  Orthonormal to working precision
     for cond(A) ≲ 1/√eps, which holds for every use here (the inputs are
     LU/QR-normalized power-iteration panels).
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.ops.linalg import cholesky_qr2
+    >>> q = cholesky_qr2(np.random.default_rng(2).standard_normal((64, 5)))
+    >>> bool(np.max(np.abs(
+    ...     np.asarray(q).T @ np.asarray(q) - np.eye(5))) < 1e-12)
+    True
     """
     a = jnp.asarray(a)
 
@@ -426,6 +478,15 @@ def lu_pl(a):
     the Halko power-iteration normalizer (ref: pca.rs:709-713): ``P·L`` is
     unit-lower-triangular up to a row permutation, providing a cheap
     well-conditioned basis for the iterated range.
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.ops.linalg import lu_pl
+    >>> pl = np.asarray(lu_pl(
+    ...     np.random.default_rng(3).standard_normal((30, 4))))
+    >>> pl.shape
+    (30, 4)
+    >>> bool(np.max(np.abs(pl)) <= 1.0 + 1e-12)  # partial pivoting
+    True
     """
     return _lu_pl_core(jnp.asarray(a))
 
@@ -440,6 +501,13 @@ def svd_flip(u, vt):
     the reference's strict ``>`` scan — and if its real part is negative
     (or, when the real part is exactly zero, its imaginary part is
     negative), negate u's column and vt's row.
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.ops.linalg import svd_flip
+    >>> u = np.array([[-0.8], [0.6]]); vt = np.array([[1.0, 2.0]])
+    >>> uf, vtf = svd_flip(u, vt)  # pivot -0.8 is negative: both flip
+    >>> np.asarray(uf).ravel().tolist(), np.asarray(vtf).ravel().tolist()
+    ([0.8, -0.6], [-1.0, -2.0])
     """
     k = min(u.shape[1], vt.shape[0])
     ucols = u[:, :k]

@@ -29,7 +29,13 @@ ROWS = "rows"
 
 def make_mesh(n_devices: int | None = None, *, axis_name: str = ROWS,
               devices=None) -> Mesh:
-    """A 1-D mesh over ``n_devices`` (default: all available devices)."""
+    """A 1-D mesh over ``n_devices`` (default: all available devices).
+
+    >>> from petal_decomposition_tpu.parallel import make_mesh
+    >>> mesh = make_mesh(1)
+    >>> mesh.axis_names, mesh.size
+    (('rows',), 1)
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -53,7 +59,14 @@ def shard_rows(x, mesh: Mesh):
 
     On a mesh spanning multiple processes (multi-host), ``x`` must be
     the full global value on every process (host memory); each process
-    contributes the rows its local devices own."""
+    contributes the rows its local devices own.
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.parallel import make_mesh, shard_rows
+    >>> x = shard_rows(np.zeros((4, 3)), make_mesh(1))
+    >>> x.shape, x.sharding.spec
+    ((4, 3), PartitionSpec('rows', None))
+    """
     sharding = row_sharding(mesh, np.ndim(x))
     if jax.process_count() > 1 and not sharding.is_fully_addressable:
         # A device-committed local array cannot be resharded across
@@ -66,7 +79,15 @@ def shard_rows(x, mesh: Mesh):
 def shard_rows_padded(x, mesh: Mesh):
     """Row-shard ``x``, zero-padding the sample axis up to a multiple of
     the mesh size.  Returns ``(sharded, n_valid)``; the distributed fit
-    kernels mask the padded rows out of every reduction."""
+    kernels mask the padded rows out of every reduction.
+
+    >>> import numpy as np
+    >>> from petal_decomposition_tpu.parallel.mesh import (
+    ...     make_mesh, shard_rows_padded)
+    >>> xs, n_valid = shard_rows_padded(np.ones((5, 2)), make_mesh(1))
+    >>> xs.shape, n_valid  # mesh of 1: no padding needed
+    ((5, 2), 5)
+    """
     import jax.numpy as jnp
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))

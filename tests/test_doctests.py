@@ -6,6 +6,9 @@ import doctest
 import petal_decomposition_tpu.models.fast_ica as fast_ica_mod
 import petal_decomposition_tpu.models.pca as pca_mod
 import petal_decomposition_tpu.models.randomized_pca as rpca_mod
+import petal_decomposition_tpu.models.streaming as streaming_mod
+import petal_decomposition_tpu.ops.linalg as linalg_mod
+import petal_decomposition_tpu.parallel.mesh as mesh_mod
 
 
 def _run(module):
@@ -24,3 +27,15 @@ def test_randomized_pca_doctests():
 
 def test_fast_ica_doctests():
     _run(fast_ica_mod)
+
+
+def test_linalg_doctests():
+    _run(linalg_mod)
+
+
+def test_streaming_doctests():
+    _run(streaming_mod)
+
+
+def test_mesh_doctests():
+    _run(mesh_mod)
