@@ -24,7 +24,12 @@ def _flush(r):
 
 def timed(fn, *args, reps=3):
     r = fn(*args); _flush(r)
-    return min((lambda: (lambda t0: (_flush(fn(*args)), time.perf_counter() - t0)[1])(time.perf_counter()))() for _ in range(reps))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _flush(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def diff_time(make_body, init, args, iters=8):

@@ -27,7 +27,14 @@
 
 namespace {
 
-constexpr int kMaxSweeps = 60;
+constexpr int kDefaultMaxSweeps = 60;
+
+// <= 0 selects the default budget; the Python layer passes
+// config.jacobi_max_sweeps so forced-non-convergence tests (and user
+// budget tuning) reach this core exactly like the jitted kernels.
+inline int sweep_budget(int max_sweeps) {
+  return max_sweeps > 0 ? max_sweeps : kDefaultMaxSweeps;
+}
 
 // Column dot products for a row-major m x n matrix.
 inline double col_dot(const double* a, int m, int n, int p, int q) {
@@ -56,8 +63,9 @@ extern "C" {
 // Works on a column-major copy so every column dot/rotation touches
 // contiguous memory (the inner loops auto-vectorize); the row-major
 // interface layout is restored on output.
-int petal_jacobi_svd(const double* a_in, int m, int n, double* u, double* s,
-                     double* vt) {
+int petal_jacobi_svd(const double* a_in, int m, int n, int max_sweeps,
+                     double* u, double* s, double* vt) {
+  const int kMaxSweeps = sweep_budget(max_sweeps);
   // ac: n columns of length m, contiguous per column.
   std::vector<double> ac(static_cast<size_t>(m) * n);
   for (int i = 0; i < m; ++i)
@@ -133,7 +141,9 @@ int petal_jacobi_svd(const double* a_in, int m, int n, double* u, double* s,
 
 // Two-sided Jacobi eigendecomposition of symmetric a (n x n).
 // Outputs: w (n, ascending), v (n x n, eigenvectors in columns).
-int petal_jacobi_eigh(const double* a_in, int n, double* w, double* v) {
+int petal_jacobi_eigh(const double* a_in, int n, int max_sweeps,
+                      double* w, double* v) {
+  const int kMaxSweeps = sweep_budget(max_sweeps);
   std::vector<double> a(a_in, a_in + static_cast<size_t>(n) * n);
   std::memset(v, 0, sizeof(double) * n * n);
   for (int i = 0; i < n; ++i) v[i * n + i] = 1.0;

@@ -349,7 +349,9 @@ class FastIca:
         # The reference pins k = min(n, d) (ica.rs:173); an explicit
         # n_components (north-star extension, sklearn-style) keeps only
         # the top-k whitened directions.
-        self._n_components = None if n_components is None else int(n_components)
+        self._n_components = (
+            None if n_components is None else int(n_components)
+        )
         if key is not None:
             self._key = key
         else:
@@ -618,7 +620,8 @@ class FastIca:
         kmat, _sigma, whiten_off = _whitening_matrix(xt, k, solver)
         if solver == "eigh":
             _linalg.check_certificate(
-                whiten_off, _common.real_dtype(x.dtype), d, "eigendecomposition"
+                whiten_off, _common.real_dtype(x.dtype), d,
+                "eigendecomposition",
             )
         # X₁ = K·Xᵀ·√n  (ref: ica.rs:204-208; the √n factor makes the
         # whitened rows unit-variance under the 1/n inner product).

@@ -326,7 +326,7 @@ class Pca:
             else:
                 means_h = np.zeros((d,), np.float64)
                 xc = xh
-            u_h, sigma_h, vt_h = native.jacobi_svd(xc)
+            u_h, sigma_h, vt_h = _linalg.native_call(native.jacobi_svd, xc)
             # svd_flip, host-side (reference convention, pca.rs:815-850).
             idx = np.argmax(np.abs(u_h), axis=0)
             piv = u_h[idx, np.arange(u_h.shape[1])]

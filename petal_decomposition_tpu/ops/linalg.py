@@ -245,6 +245,20 @@ def svd_jit_cert(a):
     return u, s, vt, jnp.zeros((), s.dtype)
 
 
+def native_call(fn, a):
+    """Run a native factorization under the configured sweep budget,
+    mapping ``NativeError`` into the reference error taxonomy — the
+    LAPACK ``info != 0`` analogue (linalg.rs:84): every backend
+    surfaces non-convergence as ``LinalgError``."""
+    from ..errors import LinalgError
+    from ..utils.native import NativeError
+
+    try:
+        return fn(a, max_sweeps=config.jacobi_max_sweeps)
+    except NativeError as e:
+        raise LinalgError(str(e)) from None
+
+
 def _use_native(dtype, shape=None) -> bool:
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False  # native core is real-valued; Jacobi handles complex
@@ -290,7 +304,7 @@ def svd(a, compute_vt: bool = True):
     if not isinstance(a, jax.core.Tracer) and _use_native(a.dtype, a.shape):
         from ..utils import native
 
-        u, s, vt = native.jacobi_svd(np.asarray(a))
+        u, s, vt = native_call(native.jacobi_svd, np.asarray(a))
         real = jnp.finfo(a.dtype).dtype
         u = jnp.asarray(u, a.dtype)
         s = jnp.asarray(s, real)
@@ -342,7 +356,7 @@ def eigh(a):
     if not isinstance(a, jax.core.Tracer) and _use_native(a.dtype, a.shape):
         from ..utils import native
 
-        w, v = native.jacobi_eigh(np.asarray(a))
+        w, v = native_call(native.jacobi_eigh, np.asarray(a))
         return (
             jnp.asarray(w, jnp.finfo(a.dtype).dtype),
             jnp.asarray(v, a.dtype),

@@ -120,7 +120,9 @@ def sqrt(xh, xl):
     p_h, p_l = two_prod(y0, y0)
     r_h, r_l = sub(xh, xl, p_h, p_l)
     denom = 2.0 * y0
-    corr = jnp.where(denom > 0, (r_h + r_l) / jnp.where(denom > 0, denom, 1), 0.0)
+    corr = jnp.where(
+        denom > 0, (r_h + r_l) / jnp.where(denom > 0, denom, 1), 0.0
+    )
     return quick_two_sum(y0, corr)
 
 

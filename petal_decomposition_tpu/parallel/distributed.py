@@ -647,7 +647,8 @@ def fast_ica_fit(x, key, *, fun: str = "logcosh", tol: float = 1e-4,
     w_init = rng_util.normal(key, (k, k), x.dtype)
     with jax.named_scope("ica_par"):
         w, lim, n_iter = _ica_par_core(
-            x1, jnp.asarray(tol, _real_dtype_of(x.dtype)), max_iter, w_init, fun,
+            x1, jnp.asarray(tol, _real_dtype_of(x.dtype)), max_iter,
+            w_init, fun,
             n_valid=n_valid,
             decorrelation=decorrelation, precision=precision, cfg=cfg,
         )

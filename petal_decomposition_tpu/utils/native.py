@@ -64,9 +64,11 @@ def _load():
         return None
 
     dp = ctypes.POINTER(ctypes.c_double)
-    lib.petal_jacobi_svd.argtypes = [dp, ctypes.c_int, ctypes.c_int, dp, dp, dp]
+    lib.petal_jacobi_svd.argtypes = [
+        dp, ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, dp
+    ]
     lib.petal_jacobi_svd.restype = ctypes.c_int
-    lib.petal_jacobi_eigh.argtypes = [dp, ctypes.c_int, dp, dp]
+    lib.petal_jacobi_eigh.argtypes = [dp, ctypes.c_int, ctypes.c_int, dp, dp]
     lib.petal_jacobi_eigh.restype = ctypes.c_int
     lib.petal_qr.argtypes = [dp, ctypes.c_int, ctypes.c_int, dp]
     lib.petal_qr.restype = ctypes.c_int
@@ -84,8 +86,9 @@ def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
-def jacobi_svd(a: np.ndarray):
-    """Thin SVD ``a = U diag(s) Vᵀ`` (f64).  Returns (u, s, vt)."""
+def jacobi_svd(a: np.ndarray, max_sweeps: int = 0):
+    """Thin SVD ``a = U diag(s) Vᵀ`` (f64).  Returns (u, s, vt).
+    ``max_sweeps <= 0`` selects the library default budget."""
     lib = _load()
     if lib is None:
         raise NativeError("native library unavailable")
@@ -98,7 +101,9 @@ def jacobi_svd(a: np.ndarray):
     u = np.empty((m, n), np.float64)
     s = np.empty((n,), np.float64)
     vt = np.empty((n, n), np.float64)
-    rc = lib.petal_jacobi_svd(_ptr(a), m, n, _ptr(u), _ptr(s), _ptr(vt))
+    rc = lib.petal_jacobi_svd(
+        _ptr(a), m, n, int(max_sweeps), _ptr(u), _ptr(s), _ptr(vt)
+    )
     if rc != 0:
         raise NativeError("singular value decomposition did not converge")
     if transposed:
@@ -106,8 +111,9 @@ def jacobi_svd(a: np.ndarray):
     return u, s, vt
 
 
-def jacobi_eigh(a: np.ndarray):
-    """Symmetric eigendecomposition, ascending eigenvalues (f64)."""
+def jacobi_eigh(a: np.ndarray, max_sweeps: int = 0):
+    """Symmetric eigendecomposition, ascending eigenvalues (f64).
+    ``max_sweeps <= 0`` selects the library default budget."""
     lib = _load()
     if lib is None:
         raise NativeError("native library unavailable")
@@ -115,7 +121,7 @@ def jacobi_eigh(a: np.ndarray):
     n = a.shape[0]
     w = np.empty((n,), np.float64)
     v = np.empty((n, n), np.float64)
-    rc = lib.petal_jacobi_eigh(_ptr(a), n, _ptr(w), _ptr(v))
+    rc = lib.petal_jacobi_eigh(_ptr(a), n, int(max_sweeps), _ptr(w), _ptr(v))
     if rc != 0:
         raise NativeError("eigendecomposition did not converge")
     return w, v
