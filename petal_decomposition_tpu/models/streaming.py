@@ -651,6 +651,24 @@ def stream_fit_exact(model, blocks, *, block_rows: int | None = None):
     return model
 
 
+def _stream_gram_precision(model) -> str:
+    """Matmul precision of the streamed Gram pass for a model.
+
+    ``RandomizedPca(gram_precision=...)``: ``"auto"`` keeps
+    ``"highest"`` — unlike the in-core Gram *range finder* (whose bf16
+    default is quadratically absorbed by the exact-data recovery), the
+    streamed solve reads σ off G's l×l algebra, so Gram error lands in
+    σ at first order.  An EXPLICIT ``"default"``/``"high"`` opts into
+    bf16/3-pass accumulation — the MXU-saturating mode for
+    compute-bound shapes (d ≳ 4096), at ~1e-3-grade relative σ
+    accuracy (measured in benchmarks/north_star.py).  Models without
+    the knob (``Pca`` — σ² read straight off G) always accumulate at
+    ``"highest"``.
+    """
+    setting = getattr(model, "_gram_precision", "auto")
+    return "highest" if setting == "auto" else setting
+
+
 def stream_fit_randomized(model, blocks, *, block_rows: int | None = None):
     """Shared implementation of ``RandomizedPca.fit_batched``."""
     import time
@@ -661,7 +679,7 @@ def stream_fit_randomized(model, blocks, *, block_rows: int | None = None):
     t0 = time.perf_counter()
     m = accumulate_moments(
         blocks, centering=model._centering, block_rows=block_rows,
-        mesh=model._mesh,
+        mesh=model._mesh, precision=_stream_gram_precision(model),
     )
     _solve_randomized(model, m)
     _install_stats(model, m, t0, FitStats)
@@ -797,7 +815,9 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
         chunks = list(
             _multihost_prologue(st, iter(chunks), model._centering)
         )
-    _accumulate_chunks(st, chunks, model._centering)
+    _accumulate_chunks(
+        st, chunks, model._centering, _stream_gram_precision(model)
+    )
     if st.carry is None:
         raise InvalidInput("empty stream: no data blocks")
     st.calls += 1

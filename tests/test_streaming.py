@@ -655,3 +655,28 @@ def test_stream_fast_ica_whiten_false_matches_in_core():
         rtol=1e-8, atol=1e-10,
     )
     assert np.all(np.asarray(st.mean()) == 0)
+
+
+def test_stream_gram_precision_plumbed():
+    """RandomizedPca(gram_precision=...) reaches the streamed Gram
+    pass: "auto" stays at "highest" (sigma come off G at first order),
+    an explicit setting is honored, and the fit still lands within the
+    documented accuracy envelope on CPU (where every precision level
+    executes as f32/f64 ops — this pins the plumbing, the bf16 accuracy
+    number itself is measured on hardware in benchmarks/north_star.py)."""
+    x = _data(n=3000, d=32)
+    m_hi = pdt.RandomizedPca(4, seed=9).fit_batched(x, block_rows=1024)
+    m_def = pdt.RandomizedPca(4, seed=9, gram_precision="default")
+    m_def.fit_batched(x, block_rows=1024)
+    np.testing.assert_allclose(
+        np.asarray(m_def.singular_values_),
+        np.asarray(m_hi.singular_values_),
+        rtol=1e-3,
+    )
+    m_pf = pdt.RandomizedPca(4, seed=9, gram_precision="default")
+    m_pf.partial_fit(x, block_rows=1024)
+    np.testing.assert_allclose(
+        np.asarray(m_pf.singular_values_),
+        np.asarray(m_def.singular_values_),
+        rtol=1e-12,
+    )
