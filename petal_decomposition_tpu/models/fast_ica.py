@@ -410,8 +410,10 @@ class FastIca:
         capability (ica.rs:167-221) at n unbounded by host RAM.  ``data``
         must be re-iterable (a 2-D array-like such as ``np.memmap``, a
         sequence of blocks, or a zero-arg callable returning the
-        stream); k×n must fit device memory (checked).  Matches the
-        in-core ``whiten_solver="eigh"`` fit at the same key up to
+        stream); k×n must fit device memory (checked; on a
+        single-process mesh the buffer column-shards, so the bound
+        scales with mesh.size).  Matches the in-core
+        ``whiten_solver="eigh"`` fit at the same key up to
         accumulation roundoff.  Returns ``self``.
 
         >>> import numpy as np

@@ -47,11 +47,14 @@ never needs to — ``ica_par`` runs on the *whitened* matrix X₁ (k × n),
 which for k ≪ d fits HBM at any n that matters (64 sources × 10M
 samples f32 is 2.5 GB).  Pass 1 accumulates the d×d Gram + moments
 (exactly :func:`accumulate_moments`) and yields the whitening K; pass 2
-streams ``X₁ = K·(X − μ)ᵀ·√n`` into an HBM-resident k×n buffer block by
-block; then the in-core ``ica_par`` runs unchanged.  The input must be
-re-iterable (a 2-D array-like, a sequence of blocks, or a zero-arg
+streams ``X₁ = K·(X − μ)ᵀ·√n`` into a device-resident k×n buffer block
+by block; then the in-core ``ica_par`` runs unchanged.  The input must
+be re-iterable (a 2-D array-like, a sequence of blocks, or a zero-arg
 callable returning the stream); the k×n buffer must fit device memory
-(checked — the error states the bound).
+(checked — the error states the bound).  On a single-process mesh the
+buffer column-shards over the devices (per-device footprint ÷
+mesh.size) and the iteration's sample reductions psum, like the
+in-core mesh fit.
 """
 
 from __future__ import annotations
@@ -875,20 +878,25 @@ def _hbm_bytes_limit() -> int | None:
     return None
 
 
-def _check_ica_buffer_budget(k: int, n: int, dtype) -> None:
+def _check_ica_buffer_budget(k: int, n: int, dtype,
+                             n_devices: int = 1) -> None:
     """The fit keeps X₁ (k×n) resident plus ~3 k×n iteration
-    temporaries (W·X₁, g(W·X₁), and the update's read of X₁ᵀ)."""
+    temporaries (W·X₁, g(W·X₁), and the update's read of X₁ᵀ).  On a
+    mesh the buffer is column-sharded, so the per-device footprint
+    divides by the device count."""
     limit = _hbm_bytes_limit()
     if limit is None:
         return
-    need = 4 * k * n * jnp.dtype(dtype).itemsize
+    need = 4 * k * n * jnp.dtype(dtype).itemsize // n_devices
     if need > limit:
+        per_dev = f" per device (mesh of {n_devices})" if n_devices > 1 else ""
         raise InvalidInput(
             f"streamed FastICA keeps the whitened k x n matrix on "
             f"device: {k} x {n} {jnp.dtype(dtype).name} needs "
-            f"~{need / 2**30:.1f} GiB (4 k n itemsize) but the device "
-            f"reports {limit / 2**30:.1f} GiB; reduce n_components or "
-            f"the sample count"
+            f"~{need / 2**30:.1f} GiB{per_dev} (4 k n itemsize) but the "
+            f"device reports {limit / 2**30:.1f} GiB; reduce "
+            f"n_components or the sample count, or shard over a larger "
+            f"mesh"
         )
 
 
@@ -954,22 +962,31 @@ def stream_fit_fast_ica(model, data, *, block_rows: int | None = None):
     from ..utils.profiling import FitStats
     from . import fast_ica as fi
 
-    if model._mesh is not None:
+    mesh = model._mesh
+    if _mesh_spans_processes(mesh):
         raise InvalidInput(
-            "streamed FastICA is single-device (the whitened k x n "
-            "buffer is HBM-resident); drop the mesh or fit() in core"
+            "streamed FastICA supports single-process meshes only "
+            "(the whitened k x n buffer is device-resident; a "
+            "multi-host column sharding would need per-process "
+            "column feeds)"
         )
     t0 = time.perf_counter()
-    block_rows = _resolve_block_rows(block_rows, None)
+    block_rows = _resolve_block_rows(block_rows, mesh)
     factory = _reiterable_factory(data, block_rows)
 
     if not model._whiten:
+        if mesh is not None:
+            raise InvalidInput(
+                "whiten=False streamed fits are single-device (the "
+                "square d x d unmixing leaves nothing to shard over "
+                "sources); drop the mesh"
+            )
         return _stream_fit_no_whiten(
             model, factory, block_rows, t0, FitStats, fi
         )
 
     m = accumulate_moments(
-        factory(), centering=True, block_rows=block_rows
+        factory(), centering=True, block_rows=block_rows, mesh=mesh
     )
     n, d = m.n_samples, int(m.gram.shape[0])
     k = min(n, d)
@@ -984,37 +1001,47 @@ def stream_fit_fast_ica(model, data, *, block_rows: int | None = None):
         _install_stats(model, m, t0, FitStats)
         return model
 
-    kmat, _sigma, off = fi.whitening_from_gram(
-        m.gram.astype(m.dtype), k, max(n, d)
-    )
-    _linalg.check_certificate(off, m.dtype, d, "eigendecomposition")
-    _check_ica_buffer_budget(k, n, m.dtype)
-
-    buf = jnp.zeros((k, n), m.dtype)
-    scale = jnp.asarray(np.sqrt(n), m.dtype)
-    means_dev = jax.device_put(m.means)
-    kmat_dev = kmat
-
-    def fill_chunk(dev, offset):
-        nonlocal buf
-        buf = _fill_whitened(
-            buf, dev, kmat_dev, means_dev,
-            jnp.asarray(offset, jnp.int32), scale,
+    ctx, _ = _solve_ctx(m.dtype, mesh)
+    with ctx:
+        kmat, _sigma, off = fi.whitening_from_gram(
+            m.gram.astype(m.dtype), k, max(n, d)
         )
-
-    _fill_pass(factory, block_rows, n, d, m.dtype, fill_chunk)
+    _linalg.check_certificate(off, m.dtype, d, "eigendecomposition")
 
     model._key, subkey = jax.random.split(model._key)
     from ..utils import rng as rng_util
 
     w_init = rng_util.normal(subkey, (k, k), m.dtype)
-    w, n_iter = fi.ica_par(
-        buf, model._tol, model._max_iter, w_init, fun=model._fun,
+    ica_kwargs = dict(
+        fun=model._fun,
         decorrelation=fi.resolve_decorrelation(model._decorrelation),
         precision=fi.resolve_iteration_precision(
             model._iteration_precision, m.dtype
         ),
     )
+    if mesh is not None:
+        w, n_iter = _ica_mesh_fill_and_iterate(
+            model, factory, block_rows, m, k, kmat, w_init, mesh,
+            fi, ica_kwargs,
+        )
+    else:
+        _check_ica_buffer_budget(k, n, m.dtype)
+        buf = jnp.zeros((k, n), m.dtype)
+        scale = jnp.asarray(np.sqrt(n), m.dtype)
+        means_dev = jax.device_put(m.means)
+        kmat_dev = kmat
+
+        def fill_chunk(dev, offset):
+            nonlocal buf
+            buf = _fill_whitened(
+                buf, dev, kmat_dev, means_dev,
+                jnp.asarray(offset, jnp.int32), scale,
+            )
+
+        _fill_pass(factory, block_rows, n, d, m.dtype, fill_chunk)
+        w, n_iter = fi.ica_par(
+            buf, model._tol, model._max_iter, w_init, **ica_kwargs
+        )
     fi.check_decorrelation(w)
     model._components = mdot(w, kmat)
     model._means = m.means
@@ -1022,6 +1049,90 @@ def stream_fit_fast_ica(model, data, *, block_rows: int | None = None):
     _install_stats(model, m, t0, FitStats)
     model.last_fit_stats_.n_iter = n_iter
     return model
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _fill_whitened_masked(buf, block, kmat, means, offset, scale, n_valid):
+    """Mesh-path fill: padded (invalid) rows of the chunk are zeroed so
+    their columns land as zeros — matching the buffer's column padding
+    that ``_ica_par_core``'s ``n_valid`` masks out of every statistic."""
+    rows = (jnp.arange(block.shape[0]) < n_valid)[:, None]
+    xb = jnp.where(rows, block - means.astype(block.dtype), 0)
+    y = mdot(kmat, xb.T) * scale
+    return jax.lax.dynamic_update_slice(
+        buf, y.astype(buf.dtype), (jnp.zeros((), offset.dtype), offset)
+    )
+
+
+def _ica_mesh_fill_and_iterate(model, factory, block_rows: int, m, k: int,
+                               kmat, w_init, mesh, fi, ica_kwargs):
+    """Single-process-mesh streamed ICA: the whitened buffer is
+    column-sharded over the mesh (per-device footprint ÷ mesh.size —
+    the k×n HBM bound scales with the mesh), chunks arrive row-sharded
+    (pad_tail chunks are all ``block_rows`` tall, a mesh-size
+    multiple), and the unchanged ``_ica_par_core`` runs with
+    ``n_valid`` masking the padded tail columns — GSPMD turns its
+    sample-axis reductions into psums exactly like the in-core mesh
+    fit."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..config import config as _cfg
+    from ..ops.jacobi import warm_kernel_probes
+    from ..ops.pallas.replication import replicated_kernel_mesh
+    from ..parallel.mesh import replicated_sharding, row_sharding
+
+    n, d = m.n_samples, int(m.gram.shape[0])
+    n_pad = -(-n // block_rows) * block_rows
+    _check_ica_buffer_budget(k, n_pad, m.dtype, mesh.size)
+
+    col_sh = NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0]))
+    buf = jax.device_put(jnp.zeros((k, n_pad), m.dtype), col_sh)
+    scale = jnp.asarray(np.sqrt(n), m.dtype)
+    put_repl = partial(jax.device_put, device=replicated_sharding(mesh))
+    put_rows = partial(jax.device_put, device=row_sharding(mesh))
+    kmat_r = put_repl(kmat)
+    means_r = put_repl(m.means)
+
+    filled = 0
+    for chunk, n_valid in _uniform_chunks(
+        _iter_input_blocks(factory(), block_rows), block_rows,
+        pad_tail=True, dtype_hint=m.dtype,
+    ):
+        if chunk.shape[1] != d:
+            raise InvalidInput(
+                f"stream changed between passes: expected {d} columns, "
+                f"got {chunk.shape[1]}"
+            )
+        if filled + n_valid > n:
+            raise InvalidInput(
+                "stream changed between passes: more rows on the second "
+                f"pass than the {n} accumulated on the first"
+            )
+        buf = _fill_whitened_masked(
+            buf, put_rows(chunk), kmat_r, means_r,
+            jnp.asarray(filled, jnp.int32), scale,
+            jnp.asarray(n_valid, jnp.int32),
+        )
+        # Offsets stay block-aligned: every pad_tail chunk is exactly
+        # block_rows tall and only the final one is partially valid.
+        filled += n_valid
+    if filled != n:
+        raise InvalidInput(
+            f"stream changed between passes: {filled} rows on the "
+            f"second pass vs {n} on the first"
+        )
+
+    warm_kernel_probes(m.dtype)
+    with replicated_kernel_mesh(mesh):
+        w, _, n_iter = fi._ica_par_core(
+            buf, jnp.asarray(model._tol, m.dtype), int(model._max_iter),
+            w_init, ica_kwargs["fun"],
+            n_valid=n if n != n_pad else None,
+            decorrelation=ica_kwargs["decorrelation"],
+            precision=ica_kwargs["precision"],
+            cfg=_cfg.cache_key() + (mesh,),
+        )
+    return w, int(n_iter)
 
 
 def _stream_fit_no_whiten(model, factory, block_rows: int, t0,

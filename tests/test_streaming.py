@@ -619,13 +619,19 @@ def test_stream_fast_ica_buffer_budget(monkeypatch):
         pdt.FastIca(seed=1).fit_batched(x)
 
 
-def test_stream_fast_ica_rejects_mesh():
-    from petal_decomposition_tpu.parallel import make_mesh
+def test_stream_fast_ica_budget_scales_with_mesh(monkeypatch):
+    """The k x n buffer budget divides by the mesh size (column
+    sharding), and the error message names the per-device footprint."""
+    from petal_decomposition_tpu.models.streaming import (
+        _check_ica_buffer_budget,
+    )
 
-    mesh = make_mesh(min(8, len(jax.devices())))
-    x = _ica_data()
-    with pytest.raises(InvalidInput, match="single-device"):
-        pdt.FastIca(seed=1, mesh=mesh).fit_batched(x)
+    monkeypatch.setenv("PETAL_STREAM_ICA_HBM_BYTES", str(64 * 2**30))
+    # 64 x 100M f64 = 4 GiB x 8 (temporaries+buffer) = 204 GiB: over a
+    # single device's 64 GiB, under it on an 8-device mesh.
+    with pytest.raises(InvalidInput, match="per device"):
+        _check_ica_buffer_budget(64, 100_000_000, np.float64, 2)
+    _check_ica_buffer_budget(64, 100_000_000, np.float64, 8)
 
 
 def test_stream_fast_ica_detects_stream_change():
@@ -680,3 +686,23 @@ def test_stream_gram_precision_plumbed():
         np.asarray(m_def.singular_values_),
         rtol=1e-12,
     )
+
+
+def test_stream_fast_ica_on_mesh_matches_single_device():
+    """Single-process mesh streamed ICA (column-sharded whitened
+    buffer, n_valid-masked padded tail) == the single-device streamed
+    fit at the same key."""
+    from petal_decomposition_tpu.parallel import make_mesh
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    x = _ica_data(n=4100, seed=17)  # not a block multiple: tail pads
+    st1 = pdt.FastIca.with_seed(31).fit_batched(x, block_rows=1024)
+    stm = pdt.FastIca(seed=31, mesh=mesh).fit_batched(x, block_rows=1024)
+    assert stm.n_iter_ == st1.n_iter_
+    np.testing.assert_allclose(
+        np.asarray(stm.components()), np.asarray(st1.components()),
+        rtol=1e-6, atol=1e-9,
+    )
+    # whiten=False keeps its single-device contract.
+    with pytest.raises(InvalidInput, match="single-device"):
+        pdt.FastIca(seed=1, whiten=False, mesh=mesh).fit_batched(x)
