@@ -58,8 +58,9 @@ def _big_buffer_table(hlo_text: str, n: int, d: int) -> dict:
     Fusion/wrapped-reduce bodies (referenced via ``calls=``/
     ``to_apply=``) describe the *inside* of one fused pass and are
     excluded; what remains — ENTRY plus cond-branch/while bodies — is
-    the executed schedule, where every instruction touching an
-    n×d-shaped buffer is one physical memory pass.  Note cond branches
+    the executed schedule, where every instruction touching a
+    data-sized buffer (n×d or its transpose d×n — e.g. an unelided
+    transpose copy) is one physical memory pass.  Note cond branches
     are alternatives: only one executes per fit.
     """
     defline = re.compile(
@@ -68,7 +69,7 @@ def _big_buffer_table(hlo_text: str, n: int, d: int) -> dict:
         r"([\w\-]+)\((.*)$"
     )
     comp_start = re.compile(r"^\s*(ENTRY\s+)?(%[\w.\-]+)\s*\(.*\)\s*->")
-    big = re.compile(rf"(\w+)\[{n},{d}\]")
+    big = re.compile(rf"(\w+)\[(?:{n},{d}|{d},{n})\]")
 
     # Pass 1: symbol table (name -> output shape string) and the set of
     # computations that are fusion/reduce bodies.

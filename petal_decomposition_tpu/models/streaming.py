@@ -316,12 +316,21 @@ def _multihost_prologue(st: _StreamState, chunks, centering: bool):
             "process (collective shift consensus)"
         )
     chunk, n_valid = first
+    # Width AND dtype must agree across processes: the folded f64
+    # moments would sum fine either way, but st.dtype is what the
+    # final factorization/state run at — a per-process mismatch would
+    # silently install f32 state on one process and f64 on another.
+    dtype_code = np.dtype(chunk.dtype).num
     dims = multihost_utils.process_allgather(
-        np.asarray(chunk.shape[1], np.int64)
+        np.asarray([chunk.shape[1], dtype_code], np.int64)
     )
     if not (dims == dims[0]).all():
         raise InvalidInput(
-            f"inconsistent block widths across processes: {dims.tolist()}"
+            "inconsistent block widths or dtypes across processes: "
+            + ", ".join(
+                f"proc {i}: d={w}, dtype={np.dtype(int(c)).name}"
+                for i, (w, c) in enumerate(dims)
+            )
         )
     cand = (
         np.asarray(chunk[:n_valid]).mean(axis=0, dtype=np.float64)
@@ -780,10 +789,13 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
     Retry safety: this call's chunks are materialized and validated
     BEFORE anything is accumulated, so a malformed block (or a raising
     user generator) leaves the stream untouched.  Zero new rows on an
-    existing stream is a no-op (no PRNG subkey is consumed, the fitted
-    state and stats are unchanged).  If the SOLVE fails, the
-    accumulated rows legitimately remain in the stream (the model
-    itself is untouched); the next successful call includes them."""
+    existing SINGLE-PROCESS stream is a no-op (no PRNG subkey is
+    consumed, the fitted state and stats are unchanged); in multi-host
+    mode the call is collective, so a zero-new-rows call still joins
+    the fold and re-solve — consuming a subkey on every process
+    equally.  If the SOLVE fails, the accumulated rows legitimately
+    remain in the stream (the model itself is untouched); the next
+    successful call includes them."""
     import time
 
     from ..utils.profiling import FitStats
@@ -922,14 +934,25 @@ def _fill_transposed(buf, block, offset):
 
 
 def _fill_pass(factory, block_rows: int, n: int, d: int, dtype,
-               fill_chunk) -> None:
-    """Second streamed pass: feed every chunk (true-size tail — at most
-    two compiled shapes) through ``fill_chunk(device_chunk, offset)``,
-    validating that the stream replayed identically to pass 1."""
+               fill_chunk, *, pad_tail: bool = False,
+               put=None) -> None:
+    """Second streamed pass: feed every chunk through
+    ``fill_chunk(device_chunk, col_offset, n_valid)``, validating that
+    the stream replayed identically to pass 1.  A one-chunk H2D
+    prefetch keeps the next transfer in flight while the current fill
+    runs (the same pipeline as pass 1's accumulator).
+
+    ``pad_tail=False`` yields the tail at its true size (at most two
+    compiled fill shapes); ``pad_tail=True`` keeps every chunk
+    ``block_rows`` tall for mesh-aligned sharding — the callback masks
+    via ``n_valid``.  ``put`` overrides the device placement (e.g.
+    row-sharded on a mesh)."""
+    put = jax.device_put if put is None else put
     filled = 0
+    pending = None
     for chunk, n_valid in _uniform_chunks(
         _iter_input_blocks(factory(), block_rows), block_rows,
-        pad_tail=False, dtype_hint=dtype,
+        pad_tail=pad_tail, dtype_hint=dtype,
     ):
         if chunk.shape[1] != d:
             raise InvalidInput(
@@ -941,8 +964,13 @@ def _fill_pass(factory, block_rows: int, n: int, d: int, dtype,
                 "stream changed between passes: more rows on the second "
                 f"pass than the {n} accumulated on the first"
             )
-        fill_chunk(jax.device_put(chunk), filled)
+        dev = put(chunk)  # async H2D: overlaps the running fill
+        if pending is not None:
+            fill_chunk(*pending)
+        pending = (dev, filled, n_valid)
         filled += n_valid
+    if pending is not None:
+        fill_chunk(*pending)
     if filled != n:
         raise InvalidInput(
             f"stream changed between passes: {filled} rows on the "
@@ -969,6 +997,17 @@ def stream_fit_fast_ica(model, data, *, block_rows: int | None = None):
             "(the whitened k x n buffer is device-resident; a "
             "multi-host column sharding would need per-process "
             "column feeds)"
+        )
+    if model._whiten and model._whiten_solver == "svd":
+        # Same contract as _check_stream_solver: an explicit "svd"
+        # pinned thin-SVD whitening (κ sensitivity); the stream only
+        # has the Gram (κ²).  Reject rather than silently downgrade.
+        # ("auto" resolves to the Gram/eigh route here by definition.)
+        raise InvalidInput(
+            "streamed FastICA whitens from the accumulated Gram "
+            "(eigh, kappa^2 sensitivity); whiten_solver='svd' cannot "
+            "be honored in a stream - use 'eigh' or 'auto', or fit() "
+            "in core"
         )
     t0 = time.perf_counter()
     block_rows = _resolve_block_rows(block_rows, mesh)
@@ -1031,7 +1070,7 @@ def stream_fit_fast_ica(model, data, *, block_rows: int | None = None):
         means_dev = jax.device_put(m.means)
         kmat_dev = kmat
 
-        def fill_chunk(dev, offset):
+        def fill_chunk(dev, offset, _n_valid):
             nonlocal buf
             buf = _fill_whitened(
                 buf, dev, kmat_dev, means_dev,
@@ -1093,34 +1132,18 @@ def _ica_mesh_fill_and_iterate(model, factory, block_rows: int, m, k: int,
     kmat_r = put_repl(kmat)
     means_r = put_repl(m.means)
 
-    filled = 0
-    for chunk, n_valid in _uniform_chunks(
-        _iter_input_blocks(factory(), block_rows), block_rows,
-        pad_tail=True, dtype_hint=m.dtype,
-    ):
-        if chunk.shape[1] != d:
-            raise InvalidInput(
-                f"stream changed between passes: expected {d} columns, "
-                f"got {chunk.shape[1]}"
-            )
-        if filled + n_valid > n:
-            raise InvalidInput(
-                "stream changed between passes: more rows on the second "
-                f"pass than the {n} accumulated on the first"
-            )
-        buf = _fill_whitened_masked(
-            buf, put_rows(chunk), kmat_r, means_r,
-            jnp.asarray(filled, jnp.int32), scale,
-            jnp.asarray(n_valid, jnp.int32),
-        )
+    def fill_chunk(dev, offset, n_valid):
         # Offsets stay block-aligned: every pad_tail chunk is exactly
         # block_rows tall and only the final one is partially valid.
-        filled += n_valid
-    if filled != n:
-        raise InvalidInput(
-            f"stream changed between passes: {filled} rows on the "
-            f"second pass vs {n} on the first"
+        nonlocal buf
+        buf = _fill_whitened_masked(
+            buf, dev, kmat_r, means_r,
+            jnp.asarray(offset, jnp.int32), scale,
+            jnp.asarray(n_valid, jnp.int32),
         )
+
+    _fill_pass(factory, block_rows, n, d, m.dtype, fill_chunk,
+               pad_tail=True, put=put_rows)
 
     warm_kernel_probes(m.dtype)
     with replicated_kernel_mesh(mesh):
@@ -1164,7 +1187,7 @@ def _stream_fit_no_whiten(model, factory, block_rows: int, t0,
 
     buf = jnp.zeros((d, n), dtype)
 
-    def fill_chunk(dev, offset):
+    def fill_chunk(dev, offset, _n_valid):
         nonlocal buf
         buf = _fill_transposed(buf, dev, jnp.asarray(offset, jnp.int32))
 

@@ -249,7 +249,14 @@ def native_call(fn, a):
     """Run a native factorization under the configured sweep budget,
     mapping ``NativeError`` into the reference error taxonomy — the
     LAPACK ``info != 0`` analogue (linalg.rs:84): every backend
-    surfaces non-convergence as ``LinalgError``."""
+    surfaces non-convergence as ``LinalgError``.
+
+    Since 0.4.0 the native core runs at ``config.jacobi_max_sweeps``
+    (default 30) like every other backend — a deliberate unification
+    from its previous fixed 60 (cyclic Jacobi converges quadratically,
+    typically in < 15 sweeps; the in-house kernels have run at 30
+    since round 1 with no observed failure).  Raise the config knob if
+    an adversarial input ever trips it."""
     from ..errors import LinalgError
     from ..utils.native import NativeError
 

@@ -706,3 +706,16 @@ def test_stream_fast_ica_on_mesh_matches_single_device():
     # whiten=False keeps its single-device contract.
     with pytest.raises(InvalidInput, match="single-device"):
         pdt.FastIca(seed=1, whiten=False, mesh=mesh).fit_batched(x)
+
+
+def test_stream_fast_ica_rejects_pinned_svd_whitening():
+    """An explicit whiten_solver='svd' pins kappa-sensitivity thin-SVD
+    whitening; the stream only has the Gram (kappa^2) — reject instead
+    of silently downgrading, like solver='full' on the PCA models."""
+    x = _ica_data()
+    m = pdt.FastIca(seed=1)
+    m._whiten_solver = "svd"
+    with pytest.raises(InvalidInput, match="whiten_solver='svd'"):
+        m.fit_batched(x)
+    # 'eigh' and the default 'auto' both stream fine.
+    pdt.FastIca(seed=1).fit_batched(x)

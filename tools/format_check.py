@@ -44,9 +44,12 @@ def _files(base: pathlib.Path, suffix: str, recursive: bool = True):
             yield p
 
 
-def _common_checks(path: pathlib.Path, text: str, *, md: bool) -> list[str]:
+def _common_checks(path: pathlib.Path, text: str, *, md: bool,
+                   raw: bytes = b"") -> list[str]:
     out = []
-    if "\r" in text:
+    # CR must be checked on the BYTES: read_text()'s universal newlines
+    # translate \r\n to \n before any string check could see it.
+    if b"\r" in raw:
         out.append(f"{path}: CR line ending")
     if text and not text.endswith("\n"):
         out.append(f"{path}: missing final newline")
@@ -68,9 +71,10 @@ def check_python() -> list[str]:
             continue
         recursive = rel != "."
         for p in _files(base, ".py", recursive):
-            text = p.read_text()
+            raw = p.read_bytes()
+            text = raw.decode()
             rp = p.relative_to(ROOT)
-            out += _common_checks(rp, text, md=False)
+            out += _common_checks(rp, text, md=False, raw=raw)
             for i, line in enumerate(text.splitlines(), 1):
                 if len(line) > limit:
                     out.append(
@@ -88,9 +92,10 @@ def check_markdown() -> list[str]:
             continue
         paths = _files(base, ".md") if base.is_dir() else [base]
         for p in paths:
-            text = p.read_text()
+            raw = p.read_bytes()
+            text = raw.decode()
             rp = p.relative_to(ROOT)
-            out += _common_checks(rp, text, md=True)
+            out += _common_checks(rp, text, md=True, raw=raw)
             fenced = False
             for i, line in enumerate(text.splitlines(), 1):
                 if line.lstrip().startswith("```"):
