@@ -103,9 +103,22 @@ s_pf = float(np.max(np.abs(
 ) / np.asarray(st_1p.singular_values_)))
 assert pf.last_fit_stats_.extra["partial_fit_calls"] == 2
 
+# Negative path: per-process dtype mismatch must be a defined error on
+# EVERY process (the consensus allgather is symmetric, so both raise —
+# no deadlock), not silently different-precision state.
+from petal_decomposition_tpu.errors import InvalidInput
+
+x_mismatch = x_loc.astype(np.float32) if pid == 0 else x_loc
+try:
+    Pca(K, mesh=mesh).fit_batched(x_mismatch, block_rows=BR)
+    dtype_mismatch_rejected = False
+except InvalidInput as e:
+    dtype_mismatch_rejected = "dtype" in str(e)
+
 ok = (
     rel < 1e-4 and align > 1 - 1e-4
     and s_st < 1e-9 and s_rst < 1e-9 and s_pf < 1e-9
+    and dtype_mismatch_rejected
 )
 out = {
     "process_count": jax.process_count(),
@@ -116,6 +129,7 @@ out = {
     "streamed_exact_sigma_rel_diff": s_st,
     "streamed_randomized_sigma_rel_diff": s_rst,
     "streamed_partial_fit_sigma_rel_diff": s_pf,
+    "dtype_mismatch_rejected": bool(dtype_mismatch_rejected),
     "ok": bool(ok),
 }
 print(f"[proc {pid}] " + json.dumps(out), flush=True)

@@ -325,12 +325,15 @@ def _multihost_prologue(st: _StreamState, chunks, centering: bool):
         np.asarray([chunk.shape[1], dtype_code], np.int64)
     )
     if not (dims == dims[0]).all():
+        # np.dtype.num codes are gathered (a dtype itself cannot ride
+        # an allgather); report them raw plus this process's name.
         raise InvalidInput(
             "inconsistent block widths or dtypes across processes: "
             + ", ".join(
-                f"proc {i}: d={w}, dtype={np.dtype(int(c)).name}"
+                f"proc {i}: d={int(w)}, dtype_code={int(c)}"
                 for i, (w, c) in enumerate(dims)
             )
+            + f" (this process: {np.dtype(chunk.dtype).name})"
         )
     cand = (
         np.asarray(chunk[:n_valid]).mean(axis=0, dtype=np.float64)

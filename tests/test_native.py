@@ -79,3 +79,34 @@ def test_native_backend_pca():
         config.linalg_backend = old
     y_ref = np.asarray(Pca(3).fit_transform(x))
     assert np.abs(y - y_ref).max() < 1e-10
+
+
+def test_native_sweep_budget_and_error_taxonomy():
+    """The C++ core honors an explicit sweep budget (rc=1 surfaces as
+    NativeError) and ops.linalg.native_call maps it into the reference
+    error taxonomy (LinalgError) under config.jacobi_max_sweeps."""
+    import pytest
+
+    from petal_decomposition_tpu.config import config
+    from petal_decomposition_tpu.errors import LinalgError
+    from petal_decomposition_tpu.ops.linalg import native_call
+    from petal_decomposition_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((60, 24)) * (1.5 ** -np.arange(24))[None, :]
+
+    with pytest.raises(native.NativeError):
+        native.jacobi_svd(a, max_sweeps=1)
+    u, s, vt = native.jacobi_svd(a)  # default budget converges
+    assert s.shape == (24,)
+
+    old = config.jacobi_max_sweeps
+    try:
+        config.jacobi_max_sweeps = 1
+        with pytest.raises(LinalgError):
+            native_call(native.jacobi_svd, a)
+    finally:
+        config.jacobi_max_sweeps = old
+    native_call(native.jacobi_svd, a)  # restored budget converges
