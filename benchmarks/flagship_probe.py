@@ -16,6 +16,10 @@ Appends results to benchmarks/FLAGSHIP_PROBE.json.
 
 from __future__ import annotations
 
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import json
 import os
 import sys

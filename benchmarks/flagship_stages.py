@@ -5,6 +5,10 @@ differencing (scalar data dependence threaded through the loop so XLA
 can neither hoist nor DCE the stage), at the exact flagship operating
 point: 1M x 1024 f32, k=32, l=42, q=2, gram bf16.
 """
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import petal_decomposition_tpu  # noqa: F401
 from petal_decomposition_tpu.ops.linalg import cholesky_qr2, mdot, svd_jit_cert, svd_flip
 import jax, jax.numpy as jnp, numpy as np, time, functools, json

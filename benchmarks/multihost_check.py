@@ -15,6 +15,10 @@ Run directly:  ``python benchmarks/multihost_check.py``
 
 from __future__ import annotations
 
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import json
 import os
 import subprocess

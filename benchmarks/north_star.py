@@ -33,6 +33,10 @@ Run:  python benchmarks/north_star.py [--modes envelope,ingest,10m]
 
 from __future__ import annotations
 
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import argparse
 import functools
 import json

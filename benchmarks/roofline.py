@@ -37,6 +37,10 @@ Writes benchmarks/ROOFLINE.json and prints it.
 
 from __future__ import annotations
 
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import functools
 import json
 import os

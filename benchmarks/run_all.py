@@ -15,6 +15,10 @@ is the full evaluation matrix:
 
 from __future__ import annotations
 
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import json
 import time
 

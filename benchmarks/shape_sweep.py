@@ -14,6 +14,10 @@ backend; on CPU set XLA_FLAGS=--xla_force_host_platform_device_count=8).
 
 from __future__ import annotations
 
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import sys
 import time
 

@@ -10,6 +10,10 @@ Four measurements at the flagship point (1M x 1024 f32, l=42), each with
 
 V2 wins iff (A - B) > (D - C).
 """
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import petal_decomposition_tpu  # noqa: F401
 from petal_decomposition_tpu.ops.linalg import mdot
 import jax, jax.numpy as jnp, numpy as np, time, functools, json

@@ -19,6 +19,10 @@ Run (one TPU job at a time through the tunnel!):
 
 from __future__ import annotations
 
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import json
 import sys
 import time

@@ -23,6 +23,10 @@ Run: ``python benchmarks/trace_flagship.py [--rows N] [--cols D]``
 
 from __future__ import annotations
 
+try:  # repo-root import path for source checkouts (script or package use)
+    import _bootstrap  # noqa: F401
+except ImportError:
+    from . import _bootstrap  # noqa: F401
 import argparse
 import json
 import os

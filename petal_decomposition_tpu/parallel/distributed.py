@@ -174,12 +174,21 @@ def pca_fit_gram(x, *, centering: bool = True, n_valid: int | None = None,
 
 
 def _resolve_range_finder(range_finder: str, dtype, n: int, d: int,
-                          l: int) -> str:
+                          l: int, *, full_f64: bool = False) -> str:
     """``"auto"`` picks the Gram finder on accelerators when the sketch
     is much narrower than the data (l ≤ d/4) and the data is tall
     (n ≥ 4d and ≥ 32k rows) — the regime where one compute-dense XᵀX
     pass replaces the 2·n_power_iters streaming passes of the direct
-    finder.  CPU (reference parity) and complex dtypes stay direct."""
+    finder.  CPU (reference parity) and complex dtypes stay direct.
+
+    ``full_f64`` (finder runs at emulated f64, i.e. f64 data with
+    ``finder_precision="full"``) also stays direct: the d²-deep Gram
+    costs ~d/(3l) times the direct finder's flops, and every flop is
+    emulated, so the Gram trade only pays when the finder drops to f32
+    (the mixed path).  Measured on a v5e at 100k×1024 f64 l=42: the
+    emulated-f64 Gram program additionally scheduled X-sized loop
+    temps that exceeded HBM (16.04G > 15.75G, 47.7% fragmentation),
+    while the direct finder fits and ran at 494 ms in round 2."""
     if range_finder != "auto":
         if range_finder == "gram" and jnp.issubdtype(
             jnp.dtype(dtype), jnp.complexfloating
@@ -189,6 +198,8 @@ def _resolve_range_finder(range_finder: str, dtype, n: int, d: int,
             )
         return range_finder
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return "direct"
+    if full_f64:
         return "direct"
     from ..ops.linalg import effective_platform
 
@@ -457,7 +468,10 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     # Mixed mode is float64-only: casting complex data to float32
     # would silently discard the imaginary half of the sketch.
     mixed = finder_precision == "f32" and x.dtype == jnp.float64
-    range_finder = _resolve_range_finder(range_finder, x.dtype, n, d, l)
+    range_finder = _resolve_range_finder(
+        range_finder, x.dtype, n, d, l,
+        full_f64=x.dtype == jnp.float64 and not mixed,
+    )
     if gram_precision == "auto":
         gram_precision = "highest" if mixed else "default"
     tv = None  # total variance; None → sqnorm() pass at the end

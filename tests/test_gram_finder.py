@@ -143,3 +143,19 @@ def test_auto_resolution():
     # Forced gram on complex raises.
     with pytest.raises(ValueError):
         _resolve_range_finder("gram", jnp.complex64, 10**6, 1024, 42)
+    # The emulated-f64 full-precision finder never picks gram (flop
+    # ratio ~d/(3l) against it, and the f64 Gram program OOMs a v5e at
+    # 100k×1024 — see _resolve_range_finder's docstring)...
+    assert (
+        _resolve_range_finder(
+            "auto", jnp.float64, 10**6, 1024, 42, full_f64=True
+        )
+        == "direct"
+    )
+    # ...but an explicit request is honored.
+    assert (
+        _resolve_range_finder(
+            "gram", jnp.float64, 10**6, 1024, 42, full_f64=True
+        )
+        == "gram"
+    )
