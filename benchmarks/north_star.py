@@ -69,6 +69,16 @@ def _gen_block(i: int):
     )
 
 
+def _flush(x) -> None:
+    """Force execution with a tiny device→host fetch: on the axon
+    tunnel stack ``block_until_ready`` returns before remote execution
+    finishes (see benchmarks/roofline.py), so a data read of the LAST
+    op in the queue is the only honest sync (the device executes in
+    dispatch order, so one element of the final result drains all of
+    it)."""
+    np.asarray(jax.device_get(jnp.ravel(x)[:1]))
+
+
 def _rng_only_s(n_blocks: int) -> float:
     """Wall for generating the blocks alone (subtracted from the
     envelope: fit_batched's real input arrives via DMA, not the VPU)."""
@@ -77,7 +87,7 @@ def _rng_only_s(n_blocks: int) -> float:
         out = None
         for i in range(n_blocks):
             out = _gen_block(i)
-        out.block_until_ready()
+        _flush(out)
         dt = time.perf_counter() - t0
     return dt
 
@@ -100,7 +110,7 @@ def _envelope(n_blocks: int, precision: str) -> dict:
         )
         for i in range(n_blocks):
             carry = accum(carry, _gen_block(i), shift, BLOCK)
-        jax.block_until_ready(carry)
+        _flush(carry[0])
         return carry
 
     carry = run()  # compile + warm
@@ -134,12 +144,96 @@ def _envelope(n_blocks: int, precision: str) -> dict:
     }
 
 
+@functools.partial(
+    jax.jit, static_argnames=("iters", "precision", "read_only")
+)
+def _device_loop(x2, shift, *, iters, precision, read_only):
+    """The whole streamed accumulation as ONE dispatch: a fori_loop
+    feeds HBM-resident blocks (rotating halves of ``x2`` — exactly a
+    block's situation after ``fit_batched``'s H2D copy lands) through
+    the exact ``_accum_step`` program.  ``read_only=True`` touches each
+    block without computing (one row consumed so nothing is
+    dead-code-eliminated) — its wall is the differencing term."""
+    carry0 = (
+        jnp.zeros((D, D), jnp.float64),
+        jnp.zeros((D,), jnp.float64),
+        jnp.zeros((), jnp.float64),
+    )
+
+    def body(i, carry):
+        g, s, sq = carry
+        blk = jax.lax.dynamic_slice(x2, ((i % 2) * BLOCK, 0), (BLOCK, D))
+        if read_only:
+            return g, s, sq + jnp.sum(blk[0], dtype=jnp.float64)
+        return streaming._accum_step(
+            (g, s, sq), blk, shift, BLOCK, precision=precision
+        )
+
+    return jax.lax.fori_loop(0, iters, body, carry0)
+
+
+def _device_envelope(n_blocks: int, precision: str) -> dict:
+    """Device-resident pipeline rate: removes the tunnel's ~30 ms/block
+    host dispatch tax that the per-block envelope pays (through a
+    PCIe-attached host the dispatch is ~µs, so THIS number is the
+    sustained ceiling of the streamed accumulation program itself;
+    H2D transport is reported separately by ingest mode /
+    stream_oocore.py)."""
+    shift = jnp.zeros((D,), jnp.float64)
+    n = n_blocks * BLOCK
+    x2 = jnp.concatenate([_gen_block(0), _gen_block(1)], axis=0)
+    _flush(x2)
+    walls = {}
+    sigma_top4 = None
+    for mode in (True, False):
+        def run():
+            c = _device_loop(
+                x2, shift, iters=n_blocks, precision=precision,
+                read_only=mode,
+            )
+            _flush(c[0])
+            return c
+
+        carry = run()  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            carry = run()
+            ts.append(time.perf_counter() - t0)
+        walls[mode] = float(np.min(ts))
+        if not mode:
+            means, gc, tv, r = streaming._finalize_centered(
+                *carry, shift, float(n)
+            )
+            m = streaming.StreamMoments(
+                means.astype(jnp.float32), gc, tv, r, n_samples=n,
+                n_blocks=n_blocks, dtype=jnp.dtype(jnp.float32),
+            )
+            sigma, _, _ = streaming.randomized_pca_from_gram(
+                m, key_from_seed(SEED), n_components=K,
+                n_oversamples=10, n_power_iters=7,
+            )
+            sigma_top4 = [float(s) for s in np.asarray(sigma)[:4]]
+    gram_flops = 2.0 * n * D * D
+    accum_s, read_s = walls[False], walls[True]
+    return {
+        "accum_wall_s": round(accum_s, 3),
+        "read_only_wall_s": round(read_s, 3),
+        "ms_per_block": round(accum_s / n_blocks * 1e3, 1),
+        "sigma_top4": sigma_top4,
+        "mxu_pct_raw": round(
+            gram_flops / accum_s / V5E_BF16_PEAK * 100, 1
+        ),
+    }
+
+
 def run_envelope(n_blocks: int) -> dict:
     rng_s = _rng_only_s(n_blocks)
     e_def = _envelope(n_blocks, "default")
     out = {
         "rng_only_wall_s": round(rng_s, 3),
         "default": e_def,
+        "device_loop_default": _device_envelope(n_blocks, "default"),
     }
     gram_flops = 2.0 * (n_blocks * BLOCK) * D * D
     out["default"]["mxu_pct_rng_differenced"] = round(

@@ -60,14 +60,21 @@ def gen_blocks(n_rows: int, *, record_shadow=None):
         i += 1
 
 
+def _flush(x) -> None:
+    # Data fetch of the queue's last op: on the tunnel stack
+    # block_until_ready returns before remote execution completes
+    # (benchmarks/roofline.py), so only a read is an honest sync.
+    np.asarray(jax.device_get(jax.numpy.ravel(x)[:1]))
+
+
 def h2d_envelope() -> float:
     """GB/s of a bare block transfer (the stream's hard ceiling)."""
     b = np.ones((BLOCK, D), np.float32)
-    dev = jax.device_put(b)
-    jax.block_until_ready(dev)
+    _flush(jax.device_put(b))
     t0 = time.perf_counter()
     for _ in range(3):
-        jax.block_until_ready(jax.device_put(b))
+        dev = jax.device_put(b)
+    _flush(dev)
     dt = (time.perf_counter() - t0) / 3
     return b.nbytes / dt / 1e9
 

@@ -35,6 +35,7 @@ import re
 import petal_decomposition_tpu  # noqa: F401  (x64 + platform config first)
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from petal_decomposition_tpu.config import config
 from petal_decomposition_tpu.ops.jacobi import warm_kernel_probes
@@ -170,7 +171,10 @@ def run(n: int, d: int, k: int = 32, do_trace: bool = True) -> dict:
         os.makedirs(trace_dir, exist_ok=True)
         with trace(trace_dir):
             sig = randomized_pca_fit(x, key, **kwargs)["sigma"]
-            sig.block_until_ready()
+            # Data fetch, not block_until_ready: on the tunnel stack
+            # only a read guarantees remote execution completed inside
+            # the capture window (benchmarks/roofline.py).
+            np.asarray(jax.device_get(jnp.ravel(sig)[:1]))
         out["trace_dir"] = os.path.relpath(trace_dir, HERE)
     return out
 
