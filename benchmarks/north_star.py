@@ -33,10 +33,19 @@ Run:  python benchmarks/north_star.py [--modes envelope,ingest,10m]
 
 from __future__ import annotations
 
-try:  # repo-root import path for source checkouts (script or package use)
-    import _bootstrap  # noqa: F401
-except ImportError:
-    from . import _bootstrap  # noqa: F401
+# Repo-root import path for source checkouts, however this file is run
+# (script, package import, or runpy without package context).
+import os as _os
+import sys as _sys
+
+if not any(
+    _os.path.isdir(_os.path.join(p, "petal_decomposition_tpu"))
+    for p in _sys.path if p
+):
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+del _os, _sys
 import argparse
 import functools
 import json
@@ -92,6 +101,18 @@ def _rng_only_s(n_blocks: int) -> float:
     return dt
 
 
+def _gram_carry_dtype(precision: str):
+    """Mirror of _accumulate_chunks' carry choice: f32 Gram carry for
+    the explicit bf16 grade on accelerators, f64 otherwise."""
+    from petal_decomposition_tpu.ops.linalg import effective_platform
+
+    return (
+        jnp.float32
+        if precision == "default" and effective_platform() != "cpu"
+        else jnp.float64
+    )
+
+
 def _envelope(n_blocks: int, precision: str) -> dict:
     """Streamed-accumulation compute envelope with device-side blocks.
 
@@ -101,10 +122,11 @@ def _envelope(n_blocks: int, precision: str) -> dict:
     n = n_blocks * BLOCK
     shift = jnp.zeros((D,), jnp.float64)  # exercised via centering math
     accum = functools.partial(streaming._accum_step, precision=precision)
+    g_dtype = _gram_carry_dtype(precision)
 
     def run():
         carry = (
-            jnp.zeros((D, D), jnp.float64),
+            jnp.zeros((D, D), g_dtype),
             jnp.zeros((D,), jnp.float64),
             jnp.zeros((), jnp.float64),
         )
@@ -155,7 +177,7 @@ def _device_loop(x2, shift, *, iters, precision, read_only):
     block without computing (one row consumed so nothing is
     dead-code-eliminated) — its wall is the differencing term."""
     carry0 = (
-        jnp.zeros((D, D), jnp.float64),
+        jnp.zeros((D, D), _gram_carry_dtype(precision)),
         jnp.zeros((D,), jnp.float64),
         jnp.zeros((), jnp.float64),
     )

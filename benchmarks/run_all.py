@@ -15,10 +15,19 @@ is the full evaluation matrix:
 
 from __future__ import annotations
 
-try:  # repo-root import path for source checkouts (script or package use)
-    import _bootstrap  # noqa: F401
-except ImportError:
-    from . import _bootstrap  # noqa: F401
+# Repo-root import path for source checkouts, however this file is run
+# (script, package import, or runpy without package context).
+import os as _os
+import sys as _sys
+
+if not any(
+    _os.path.isdir(_os.path.join(p, "petal_decomposition_tpu"))
+    for p in _sys.path if p
+):
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+del _os, _sys
 import json
 import time
 

@@ -10,10 +10,19 @@ Four measurements at the flagship point (1M x 1024 f32, l=42), each with
 
 V2 wins iff (A - B) > (D - C).
 """
-try:  # repo-root import path for source checkouts (script or package use)
-    import _bootstrap  # noqa: F401
-except ImportError:
-    from . import _bootstrap  # noqa: F401
+# Repo-root import path for source checkouts, however this file is run
+# (script, package import, or runpy without package context).
+import os as _os
+import sys as _sys
+
+if not any(
+    _os.path.isdir(_os.path.join(p, "petal_decomposition_tpu"))
+    for p in _sys.path if p
+):
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+del _os, _sys
 import petal_decomposition_tpu  # noqa: F401
 from petal_decomposition_tpu.ops.linalg import mdot
 import jax, jax.numpy as jnp, numpy as np, time, functools, json

@@ -25,9 +25,13 @@ Numerical contract (single pass, shifted accumulation):
   ``last_fit_stats_.extra["mean_shift_ratio"]``; r ≪ 1 certifies the
   cancellation-free regime.
 * Cross-block accumulation runs in float64 (the per-block d×d add is
-  trivially cheap next to the block matmul), so accumulation error is
-  independent of the number of blocks; the factorization then runs at
-  the data dtype.
+  trivially cheap next to the block matmul on CPU), so accumulation
+  error is independent of the number of blocks; the factorization then
+  runs at the data dtype.  Exception: the explicit
+  ``gram_precision="default"`` (bf16) mode on accelerators carries the
+  Gram in f32 — uniform with its product grade, and the emulated-f64
+  d×d add it drops costs ~5 ms per 4096-wide block on a v5e (moment
+  vectors stay f64 across blocks everywhere).
 * Singular values are read off the Gram (σ = √λ), squaring the
   condition number: f64 streams keep ~1e-9-grade σ, f32 streams are
   Gram-grade (~1e-5·κ(X)² relative).  This matches the accuracy
@@ -98,7 +102,9 @@ def _accum_step(carry, block, shift, n_valid, *, precision):
     """One streamed block: masked shift, Gram + first/second moments.
 
     ``carry`` (donated — the d×d accumulator is updated in place) holds
-    float64 ``(g, s, sq)``.  ``n_valid`` is a dynamic scalar: the final
+    ``(g, s, sq)``: ``s``/``sq`` float64, ``g`` float64 or — for the
+    explicit bf16 Gram grade on accelerators — float32 (see the module
+    docstring).  ``n_valid`` is a dynamic scalar: the final
     partial block is zero-padded to the uniform block shape and masked
     here, so the whole stream compiles exactly one step program.
     """
@@ -408,8 +414,23 @@ def _accumulate_chunks(st: _StreamState, chunks, centering: bool,
                     else np.zeros((st.d,), np.float64)
                 )
                 st.shift = put_repl(shift)
+            # Gram carry at the product grade: for the explicit
+            # "default" (bf16) mode on accelerators the f64 inter-block
+            # add buys nothing (the bf16 product error ~6e-6 dwarfs the
+            # √B·eps_f32 ≈ 8e-7 of B=160 f32 adds) and the emulated-f64
+            # d×d add costs ~5 ms per 4096-wide block on a v5e;
+            # "high"/"highest" keep the f64 carry their grade promises.
+            from ..ops.linalg import effective_platform
+
+            g_dtype = (
+                np.float32
+                if (precision == "default"
+                    and np.dtype(st.dtype) == np.float32
+                    and effective_platform() != "cpu")
+                else np.float64
+            )
             st.carry = (
-                put_repl(np.zeros((st.d, st.d), np.float64)),
+                put_repl(np.zeros((st.d, st.d), g_dtype)),
                 put_repl(np.zeros((st.d,), np.float64)),
                 put_repl(np.zeros((), np.float64)),
             )
