@@ -117,18 +117,24 @@ def _accum_step(carry, block, shift, n_valid, *, precision):
     # f32 = one bf16 MXU pass — the same arithmetic as the in-core
     # Gram finder and its guard rating).
     g = g + _gram_of(xb, precision).astype(g.dtype)
-    # Per-block moments at the block dtype on accelerators, f64 across
-    # blocks: emulated-f64 reductions cost 10.6 ms per 65k×4096 block
-    # on a v5e (measured ablation, benchmarks/NORTH_STAR.json) vs
-    # 5.9 ms in f32 — and f32-accumulate-then-widen is the same grade
-    # the in-core fused sketch kernel gives `mean_`/`total_variance`
-    # (~1e-6 relative per block, exact f64 across blocks).  CPU keeps
-    # full f64 reductions (they are native there).
+    # Per-block moments at the block dtype, f64 across blocks — but
+    # ONLY for the "default" (bf16-Gram) grade on accelerators, the
+    # same gate as the f32 Gram carry in ``_accumulate_chunks``:
+    # emulated-f64 reductions cost 10.6 ms per 65k×4096 block on a v5e
+    # (measured ablation, benchmarks/NORTH_STAR.json) vs 5.9 ms in f32,
+    # and f32-accumulate-then-widen is the grade the in-core fused
+    # sketch kernel gives `mean_`/`total_variance` (~1e-6 relative per
+    # block, exact f64 across blocks).  "high"/"highest" keep the full
+    # f64 per-block reductions their grade promises (the
+    # highest-grade Gram dominates wall time there anyway); CPU keeps
+    # f64 always (native).
     from ..ops.linalg import effective_platform
 
     moment_dtype = (
         jnp.float32
-        if xb.dtype == jnp.float32 and effective_platform() != "cpu"
+        if (precision == "default"
+            and xb.dtype == jnp.float32
+            and effective_platform() != "cpu")
         else s.dtype
     )
     s = s + jnp.sum(xb, axis=0, dtype=moment_dtype).astype(s.dtype)

@@ -221,7 +221,7 @@ _GRAM_GUARD_RMAX = {"default": 2.0, "high": 1e3, "highest": 1e5}
 def _gram_of(xc, precision: str):
     """``XᵀX`` at the requested matmul precision (f32/f64 input).
 
-    ``"default"`` on accelerator f32 is the documented bf16-grade mode
+    ``"default"`` on TPU f32 is the documented bf16-grade mode
     (the ``_GRAM_GUARD_RMAX`` rating and the Pallas fused kernel both
     assume one bf16 MXU pass with f32 accumulation).  It is cast
     explicitly because current libtpu lowers a plain
@@ -229,14 +229,16 @@ def _gram_of(xc, precision: str):
     3.1× slower at 65k×4096 (43 → 14 ms/block) for accuracy the grade
     never promised; explicit bf16 operands restore the single pass and
     keep non-fused fits consistent with the fused kernel's arithmetic.
-    CPU keeps true-f32 semantics ("default" there is a real f32 GEMM).
+    The gate is TPU-only: it fixes a *TPU lowering* quirk, and on
+    other platforms (CPU, GPU) ``"default"`` f32 is a true f32 GEMM
+    that an unconditional bf16 cast would silently downgrade.
     """
     from ..ops.linalg import effective_platform
 
     if (
         precision == "default"
         and xc.dtype == jnp.float32
-        and effective_platform() != "cpu"
+        and effective_platform() == "tpu"
     ):
         x16 = xc.astype(jnp.bfloat16)
         return jnp.dot(
