@@ -39,4 +39,4 @@ __all__ = [
     "load",
 ]
 
-__version__ = "0.3.1"
+__version__ = "0.5.0"

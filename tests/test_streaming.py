@@ -719,3 +719,72 @@ def test_stream_fast_ica_rejects_pinned_svd_whitening():
         m.fit_batched(x)
     # 'eigh' and the default 'auto' both stream fine.
     pdt.FastIca(seed=1).fit_batched(x)
+
+
+# -- H2D prefetch pipeline ---------------------------------------------
+
+
+def test_prefetch_on_off_identical(monkeypatch):
+    """The worker-thread prefetch is a pure pipelining change: results
+    must be bit-identical to the synchronous fallback."""
+    x = _data(4000, 32, dtype=np.float32)
+
+    def fit(depth):
+        monkeypatch.setenv("PETAL_STREAM_PREFETCH", depth)
+        m = pdt.RandomizedPca(4, seed=11)
+        m.fit_batched(x, block_rows=700)
+        return m
+
+    m0, m3 = fit("0"), fit("3")
+    np.testing.assert_array_equal(
+        np.asarray(m0.singular_values_), np.asarray(m3.singular_values_)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m0.components()), np.asarray(m3.components())
+    )
+
+
+def test_prefetch_propagates_generator_error():
+    """An exception inside the user's block generator surfaces from
+    fit_batched (in stream order), not on a leaked worker thread."""
+    import threading
+
+    def bad_blocks():
+        yield _data(500, 16, dtype=np.float32)
+        raise RuntimeError("source failed mid-stream")
+
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match="source failed mid-stream"):
+        pdt.Pca(2).fit_batched(bad_blocks(), block_rows=200)
+    # The prefetch worker exits with the stream (joined in the
+    # generator's finally); give a grace period for the join.
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        import time
+
+        time.sleep(0.02)
+    assert threading.active_count() <= before
+
+
+def test_prefetch_width_mismatch_mid_stream():
+    """A consumer-side validation error (cross-call width check) stops
+    the stream cleanly through the prefetcher."""
+    m = pdt.Pca(2)
+    m.partial_fit(_data(300, 16, dtype=np.float32), block_rows=100)
+    with pytest.raises(InvalidInput, match="inconsistent block widths"):
+        m.partial_fit(_data(300, 8, dtype=np.float32))
+
+
+def test_prefetch_keeps_fill_pass_contract():
+    """Streamed FastICA's two passes still detect a stream that shrinks
+    between passes, with the prefetcher in the loop."""
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        n = 600 if calls["n"] == 1 else 400
+        return iter([_ica_data()[:n]])
+
+    with pytest.raises(InvalidInput, match="stream changed"):
+        pdt.FastIca(seed=1).fit_batched(flaky, block_rows=256)
