@@ -410,6 +410,199 @@ def _mxu_showcase(dispatch_s: float) -> dict:
     return out
 
 
+NS_D = 4096
+NS_BLOCK = 65536
+NS_BLOCKS = 16  # 16 x 65536 = 1,048,576 rows
+NS_K = 32
+
+
+def _north_star(dispatch_s: float) -> dict:
+    """The literal BASELINE.md metric: RandomizedPca fit 1M×4096 f32
+    k=32 — via the streamed Gram path (``gram_precision="default"``),
+    the only way the 15.6 GiB shape fits one v5e chip at all (the
+    reference needs the whole matrix in host RAM, pca.rs:195-231).
+
+    Three honest numbers on the one bf16-peak denominator:
+
+    * ``full_fit_device_fed`` — the COMPLETE fit (16-block streamed
+      accumulation as one fori_loop over HBM-resident blocks +
+      re-centering + the randomized Gram solve), one raw wall
+      measurement, no differencing.  This is the end-to-end rate when
+      block delivery keeps up with compute — i.e. production reality
+      on a PCIe/DMA-attached host (10-30 GB/s vs the 0.46 GB/s the
+      accumulation consumes per ms of compute... see host_ingest).
+    * ``per_block_dispatch_rng_fed`` — the same accumulation fed one
+      dispatched block at a time with device-RNG data (the exact
+      per-block program ``fit_batched`` runs), raw and with the
+      measured RNG-generation wall differenced out.
+    * ``host_ingest`` — what THIS environment's transport actually
+      delivers: the axon tunnel is a network relay measured at
+      ~0.07 GB/s H2D (vs 819 GB/s HBM), so a host-fed 17 GB fit here
+      is transport-bound by ~3 orders of magnitude of environment, not
+      algorithm.  Reported: the measured H2D envelope and a real
+      2-block ``fit_batched`` whose streaming rate is checked against
+      that envelope (the prefetch pipeline should land within ~15%).
+
+    Plus σ parity: the real streamed fit vs the in-core gram-finder
+    fit on identical data at the same seed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from petal_decomposition_tpu.models import streaming
+    from petal_decomposition_tpu.utils.rng import key_from_seed
+
+    seed = 1_234_567_891_011_121_314
+    n = NS_BLOCKS * NS_BLOCK
+    gram_flops = 2.0 * n * NS_D * NS_D
+    out = {"rows": n, "d": NS_D, "k": NS_K,
+           "gram_precision": "default (bf16 MXU pass, f32 accum)"}
+
+    def gen_block(i: int):
+        return jax.random.normal(
+            jax.random.fold_in(jax.random.key(0), i),
+            (NS_BLOCK, NS_D), jnp.float32,
+        )
+
+    shift = jnp.zeros((NS_D,), jnp.float64)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def accum_loop(x2, *, iters):
+        """The streamed accumulation as ONE dispatch: rotating halves
+        of ``x2`` are exactly a block's situation after fit_batched's
+        H2D copy lands."""
+        carry0 = (
+            jnp.zeros((NS_D, NS_D), jnp.float32),  # default-grade carry
+            jnp.zeros((NS_D,), jnp.float64),
+            jnp.zeros((), jnp.float64),
+        )
+
+        def body(i, carry):
+            blk = jax.lax.dynamic_slice(
+                x2, ((i % 2) * NS_BLOCK, 0), (NS_BLOCK, NS_D)
+            )
+            return streaming._accum_step(
+                carry, blk, shift, NS_BLOCK, precision="default"
+            )
+
+        return jax.lax.fori_loop(0, iters, body, carry0)
+
+    x2 = jnp.concatenate([gen_block(0), gen_block(1)], axis=0)
+    _flush(x2)
+
+    def full_fit():
+        carry = accum_loop(x2, iters=NS_BLOCKS)
+        means, gc, tv, r = streaming._finalize_centered(
+            *carry, shift, float(n)
+        )
+        m = streaming.StreamMoments(
+            means.astype(jnp.float32), gc, tv, r, n_samples=n,
+            n_blocks=NS_BLOCKS, dtype=jnp.dtype(jnp.float32),
+        )
+        sigma, vt, off = streaming.randomized_pca_from_gram(
+            m, key_from_seed(seed), n_components=NS_K,
+            n_oversamples=10, n_power_iters=7,
+        )
+        return sigma
+
+    fit_s = _timed(full_fit, reps=3)
+    # Accumulation alone (same warm cache) to split accum vs solve.
+    accum_s = _timed(lambda: accum_loop(x2, iters=NS_BLOCKS), reps=3)
+    out["full_fit_device_fed"] = {
+        "wall_s": round(fit_s, 3),
+        "accum_wall_s": round(accum_s, 3),
+        "solve_and_finalize_wall_s": round(fit_s - accum_s, 3),
+        "mxu_pct_raw": round(gram_flops / fit_s / V5E_BF16_PEAK * 100, 1),
+        "sigma_top4": [float(s) for s in np.asarray(full_fit())[:4]],
+        "sigma_note": (
+            "rotates TWO blocks 8x each (HBM-residency stand-in), so "
+            "sigma here is not comparable to true-1M-sample sigma; "
+            "parity is checked below on real data"
+        ),
+    }
+
+    # Per-block dispatch with device-RNG feed (fit_batched's program).
+    def rng_only():
+        o = None
+        for i in range(NS_BLOCKS):
+            o = gen_block(i)
+        return o
+
+    rng_s = _timed(rng_only, reps=2)
+
+    def per_block():
+        carry = (
+            jnp.zeros((NS_D, NS_D), jnp.float32),
+            jnp.zeros((NS_D,), jnp.float64),
+            jnp.zeros((), jnp.float64),
+        )
+        for i in range(NS_BLOCKS):
+            carry = streaming._accum_step(
+                carry, gen_block(i), shift, NS_BLOCK, precision="default"
+            )
+        return carry[0]
+
+    pb_s = _timed(per_block, reps=2)
+    out["per_block_dispatch_rng_fed"] = {
+        "accum_wall_s": round(pb_s, 3),
+        "rng_only_wall_s": round(rng_s, 3),
+        "mxu_pct_raw": round(gram_flops / pb_s / V5E_BF16_PEAK * 100, 1),
+        "mxu_pct_rng_differenced": round(
+            gram_flops / max(pb_s - rng_s, 1e-9) / V5E_BF16_PEAK * 100, 1
+        ),
+    }
+    del x2
+
+    # Host ingest through THIS environment's transport, honestly
+    # labeled: H2D envelope + a real fit_batched vs it.  Small blocks
+    # (512 MiB total): the tunnel is ~0.03-0.07 GB/s, so the full
+    # 17 GB shape would burn the whole measurement budget on a link no
+    # production deployment has (measured r5: 2 GiB fit = 99 s, 100%
+    # transport).
+    from petal_decomposition_tpu import RandomizedPca
+
+    ing_rows = 16384
+    blk_host = np.ones((ing_rows, NS_D), np.float32)
+    _flush(jax.device_put(blk_host))
+    t0 = time.perf_counter()
+    _flush(jax.device_put(blk_host))
+    h2d_gbps = blk_host.nbytes / (time.perf_counter() - t0) / 1e9
+
+    rng = np.random.default_rng(0)
+    x_host = rng.standard_normal((2 * ing_rows, NS_D), dtype=np.float32)
+    fit = RandomizedPca(NS_K, seed=seed, gram_precision="default")
+    t0 = time.perf_counter()
+    fit.fit_batched(x_host, block_rows=ing_rows)
+    ingest_s = time.perf_counter() - t0
+    stream_gbps = x_host.nbytes / ingest_s / 1e9
+    out["host_ingest"] = {
+        "h2d_envelope_gbps": round(h2d_gbps, 3),
+        "fit_gigabytes": round(x_host.nbytes / 2**30, 2),
+        "fit_wall_s": round(ingest_s, 2),
+        "fit_stream_gbps": round(stream_gbps, 3),
+        "pct_of_h2d_envelope": round(stream_gbps / h2d_gbps * 100, 1),
+        "note": (
+            "the axon tunnel is a network relay ~4 orders of magnitude "
+            "under HBM; on a PCIe/DMA host (10-30 GB/s) the prefetch "
+            "pipeline is compute-bound and full_fit_device_fed is the "
+            "operative end-to-end rate"
+        ),
+    }
+
+    # σ parity: the real streamed fit vs the in-core gram-finder fit
+    # on identical data at the same seed (the 4096-wide row subset the
+    # budget allows through this transport).
+    ic = RandomizedPca(NS_K, seed=seed, range_finder="gram")
+    ic.fit(x_host)
+    s_st = np.asarray(fit.singular_values_)
+    s_ic = np.asarray(ic.singular_values_)
+    out["sigma_rel_streamed_vs_in_core"] = float(
+        np.max(np.abs(s_st - s_ic) / s_ic)
+    )
+    del x_host
+    return out
+
+
 ICA_K = 64
 ICA_N = 100_000
 ICA_ITERS = 50
@@ -520,6 +713,39 @@ def _ica_rates() -> dict:
             n_iter / max(out["f64_polish_iters_per_sec"], 1e-9), 1
         ),
     }
+
+    # A fixture that DOES converge, end-to-end through the public API:
+    # the reference's two-source family (ica.rs:446-456 converges the
+    # golden 2×2 in 6 iterations; this is the same shape scaled to a
+    # real sample count — sine + square sources, measured 3 iterations
+    # at the reference tolerance).  Witnesses on-chip convergence
+    # behavior, not just throughput: the generic-Gaussian fixture above
+    # legitimately caps at 200 (the reference functional rarely reaches
+    # 1e-4 on data with no independent non-Gaussian sources).
+    from petal_decomposition_tpu import FastIca
+
+    t = np.arange(ICA_N)
+    src = np.stack(
+        [np.sin(t * 0.01), np.sign(np.sin(t * 0.037 + 0.4))], axis=1
+    )
+    mix = src @ np.array([[1.0, 0.6], [0.4, 1.0]]).T
+
+    def run_two_source():
+        m = FastIca.with_seed(1_234_567_891_011_121_314)
+        m.fit(mix)  # fit syncs via its convergence certificate
+        return m.n_iter_
+
+    n2 = run_two_source()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n2 = run_two_source()
+        ts.append(time.perf_counter() - t0)
+    out["two_source_unmix_100k_f64"] = {
+        "seconds": round(float(np.min(ts)), 3),
+        "n_iter": n2,
+        "converged": n2 < 200,
+    }
     return out
 
 
@@ -599,6 +825,7 @@ def main() -> None:
     PARTIAL["flagship"] = flagship
     cpu_s = _cpu_baseline_seconds()
     PARTIAL["cpu_baseline_measured_full_size_ms"] = round(cpu_s * 1e3, 1)
+    PARTIAL["north_star_1Mx4096"] = _retry(lambda: _north_star(dispatch_s))
     PARTIAL["envelope_measured"] = _retry(_envelope)
     PARTIAL["mxu_showcase_250kx8192_gram"] = _retry(
         lambda: _mxu_showcase(dispatch_s)

@@ -186,7 +186,14 @@ def _device_loop(x2, shift, *, iters, precision, read_only):
         g, s, sq = carry
         blk = jax.lax.dynamic_slice(x2, ((i % 2) * BLOCK, 0), (BLOCK, D))
         if read_only:
-            return g, s, sq + jnp.sum(blk[0], dtype=jnp.float64)
+            # Consume a full-block reduction (f32 accumulation — an
+            # emulated-f64 reduction would add ~10 ms/block of its own,
+            # see the moment-dtype ablation) so XLA cannot narrow the
+            # dynamic_slice to one row and skip the HBM read this term
+            # exists to measure.
+            return g, s, sq + jnp.sum(blk, dtype=jnp.float32).astype(
+                jnp.float64
+            )
         return streaming._accum_step(
             (g, s, sq), blk, shift, BLOCK, precision=precision
         )
@@ -243,6 +250,11 @@ def _device_envelope(n_blocks: int, precision: str) -> dict:
         "read_only_wall_s": round(read_s, 3),
         "ms_per_block": round(accum_s / n_blocks * 1e3, 1),
         "sigma_top4": sigma_top4,
+        "sigma_note": (
+            "the device loop rotates TWO blocks n_blocks/2 times each "
+            "(HBM-residency stand-in), so its sigma is NOT comparable "
+            "to the envelope's true-data sigma — expect ~10% offset"
+        ),
         "mxu_pct_raw": round(
             gram_flops / accum_s / V5E_BF16_PEAK * 100, 1
         ),

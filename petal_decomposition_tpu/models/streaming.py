@@ -227,13 +227,19 @@ def _iter_input_blocks(data, step: int):
 
 
 def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True,
-                    dtype_hint=None):
+                    dtype_hint=None, tail_multiple: int | None = None):
     """Re-buffer arbitrary-size input blocks into uniform
     ``block_rows``-row chunks, so the whole stream hits ONE compiled
     step.  Yields ``(chunk, n_valid)``; the final partial chunk is
     zero-padded to the uniform shape when ``pad_tail`` (the
     accumulation path masks it), or yielded at its true size otherwise
-    (the transform path has no one-program constraint).  ``dtype_hint``
+    (the transform path has no one-program constraint).
+    ``tail_multiple`` (with ``pad_tail``) pads the final partial chunk
+    only up to the next multiple of that value instead of the full
+    ``block_rows`` — the mesh-sharded ICA fill uses ``mesh.size`` so
+    the whitened buffer carries at most mesh.size−1 dead columns
+    rather than up to a whole block (at the cost of one extra compiled
+    fill shape, like ``pad_tail=False``).  ``dtype_hint``
     continues an existing stream's dtype (``partial_fit`` across
     calls) under the same safe-cast rule as within one stream."""
     _check_block_rows(block_rows)
@@ -269,7 +275,12 @@ def _uniform_chunks(blocks, block_rows: int, *, pad_tail: bool = True,
         if not pad_tail:
             yield joined, have
             return
-        pad = np.zeros((block_rows - have, joined.shape[1]), joined.dtype)
+        target = (
+            block_rows
+            if tail_multiple is None
+            else -(-have // tail_multiple) * tail_multiple
+        )
+        pad = np.zeros((target - have, joined.shape[1]), joined.dtype)
         yield np.concatenate([joined, pad]), have
 
 
@@ -1077,6 +1088,7 @@ def _fill_transposed(buf, block, offset):
 
 def _fill_pass(factory, block_rows: int, n: int, d: int, dtype,
                fill_chunk, *, pad_tail: bool = False,
+               tail_multiple: int | None = None,
                put=None) -> None:
     """Second streamed pass: feed every chunk through
     ``fill_chunk(device_chunk, col_offset, n_valid)``, validating that
@@ -1085,15 +1097,16 @@ def _fill_pass(factory, block_rows: int, n: int, d: int, dtype,
     pass 1's accumulator) while this loop only dispatches fills.
 
     ``pad_tail=False`` yields the tail at its true size (at most two
-    compiled fill shapes); ``pad_tail=True`` keeps every chunk
-    ``block_rows`` tall for mesh-aligned sharding — the callback masks
-    via ``n_valid``.  ``put`` overrides the device placement (e.g.
-    row-sharded on a mesh)."""
+    compiled fill shapes); ``pad_tail=True`` pads the final partial
+    chunk to ``tail_multiple`` (mesh-aligned sharding; the callback
+    masks via ``n_valid``) or to full ``block_rows`` height when
+    ``tail_multiple`` is None.  ``put`` overrides the device placement
+    (e.g. row-sharded on a mesh)."""
     put = jax.device_put if put is None else put
     filled = 0
     chunks = _uniform_chunks(
         _iter_input_blocks(factory(), block_rows), block_rows,
-        pad_tail=pad_tail, dtype_hint=dtype,
+        pad_tail=pad_tail, dtype_hint=dtype, tail_multiple=tail_multiple,
     )
     for dev, n_valid, width in _device_prefetch(chunks, put):
         if width != d:
@@ -1196,11 +1209,12 @@ def stream_fit_fast_ica(model, data, *, block_rows: int | None = None):
         ),
     )
     if mesh is not None:
-        w, n_iter = _ica_mesh_fill_and_iterate(
+        w, n_iter, buf_cols = _ica_mesh_fill_and_iterate(
             model, factory, block_rows, m, k, kmat, w_init, mesh,
             fi, ica_kwargs,
         )
     else:
+        buf_cols = n
         _check_ica_buffer_budget(k, n, m.dtype)
         buf = jnp.zeros((k, n), m.dtype)
         scale = jnp.asarray(np.sqrt(n), m.dtype)
@@ -1224,6 +1238,7 @@ def stream_fit_fast_ica(model, data, *, block_rows: int | None = None):
     model._n_iter = n_iter
     _install_stats(model, m, t0, FitStats)
     model.last_fit_stats_.n_iter = n_iter
+    model.last_fit_stats_.extra["whitened_buffer_cols"] = buf_cols
     return model
 
 
@@ -1245,8 +1260,9 @@ def _ica_mesh_fill_and_iterate(model, factory, block_rows: int, m, k: int,
     """Single-process-mesh streamed ICA: the whitened buffer is
     column-sharded over the mesh (per-device footprint ÷ mesh.size —
     the k×n HBM bound scales with the mesh), chunks arrive row-sharded
-    (pad_tail chunks are all ``block_rows`` tall, a mesh-size
-    multiple), and the unchanged ``_ica_par_core`` runs with
+    (the tail chunk pads only to the next ``mesh.size`` multiple, so
+    the buffer carries at most mesh.size−1 dead columns instead of up
+    to a whole block), and the unchanged ``_ica_par_core`` runs with
     ``n_valid`` masking the padded tail columns — GSPMD turns its
     sample-axis reductions into psums exactly like the in-core mesh
     fit."""
@@ -1258,7 +1274,11 @@ def _ica_mesh_fill_and_iterate(model, factory, block_rows: int, m, k: int,
     from ..parallel.mesh import replicated_sharding, row_sharding
 
     n, d = m.n_samples, int(m.gram.shape[0])
-    n_pad = -(-n // block_rows) * block_rows
+    # Full chunks stay block_rows tall (one compiled fill); only the
+    # tail pads, and only to the next mesh.size multiple.
+    full = (n // block_rows) * block_rows
+    tail = n - full
+    n_pad = full + (-(-tail // mesh.size) * mesh.size if tail else 0)
     _check_ica_buffer_budget(k, n_pad, m.dtype, mesh.size)
 
     col_sh = NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0]))
@@ -1270,8 +1290,8 @@ def _ica_mesh_fill_and_iterate(model, factory, block_rows: int, m, k: int,
     means_r = put_repl(m.means)
 
     def fill_chunk(dev, offset, n_valid):
-        # Offsets stay block-aligned: every pad_tail chunk is exactly
-        # block_rows tall and only the final one is partially valid.
+        # Offsets stay block-aligned: every chunk but the (shorter,
+        # mesh-multiple) tail is exactly block_rows tall.
         nonlocal buf
         buf = _fill_whitened_masked(
             buf, dev, kmat_r, means_r,
@@ -1280,7 +1300,7 @@ def _ica_mesh_fill_and_iterate(model, factory, block_rows: int, m, k: int,
         )
 
     _fill_pass(factory, block_rows, n, d, m.dtype, fill_chunk,
-               pad_tail=True, put=put_rows)
+               pad_tail=True, tail_multiple=mesh.size, put=put_rows)
 
     warm_kernel_probes(m.dtype)
     with replicated_kernel_mesh(mesh):
@@ -1292,7 +1312,7 @@ def _ica_mesh_fill_and_iterate(model, factory, block_rows: int, m, k: int,
             precision=ica_kwargs["precision"],
             cfg=_cfg.cache_key() + (mesh,),
         )
-    return w, int(n_iter)
+    return w, int(n_iter), n_pad
 
 
 def _stream_fit_no_whiten(model, factory, block_rows: int, t0,

@@ -42,7 +42,15 @@ def _mask_rows(y, n_valid: int | None):
 
 
 def centered_matmul(x, m, means, n_valid: int | None = None):
-    """``(X − 1μᵀ)·M`` without materializing the centered X."""
+    """``(X − 1μᵀ)·M`` without materializing the centered X.
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 3)))
+    >>> m = jnp.asarray(np.random.default_rng(1).normal(size=(3, 2)))
+    >>> mu = jnp.mean(x, axis=0)
+    >>> bool(np.allclose(centered_matmul(x, m, mu), (x - mu) @ m))
+    True
+    """
     y = mdot(x, m) - mdot(means, m)[None, :]
     return _mask_rows(y, n_valid)
 
@@ -56,12 +64,28 @@ def centered_rmatmul(x, q, means):
 
 def centered_gram(x, means, n: int):
     """``(X − 1μᵀ)ᵀ(X − 1μᵀ) = XᵀX − n·μμᵀ`` (padded rows of X are zero
-    and contribute nothing to either term)."""
+    and contribute nothing to either term).
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 3)))
+    >>> mu = jnp.mean(x, axis=0)
+    >>> xc = x - mu
+    >>> bool(np.allclose(centered_gram(x, mu, 8), xc.T @ xc))
+    True
+    """
     return mdot(x.conj().T, x) - n * jnp.outer(jnp.conj(means), means)
 
 
 def centered_sqnorm(x, means, n: int):
-    """``‖X − 1μᵀ‖²_F = ‖X‖²_F − n·‖μ‖²``."""
+    """``‖X − 1μᵀ‖²_F = ‖X‖²_F − n·‖μ‖²``.
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> x = jnp.asarray(np.random.default_rng(3).normal(size=(8, 3)))
+    >>> mu = jnp.mean(x, axis=0)
+    >>> bool(np.allclose(centered_sqnorm(x, mu, 8),
+    ...                  np.sum(np.asarray(x - mu) ** 2)))
+    True
+    """
     return jnp.sum(jnp.abs(x) ** 2) - n * jnp.sum(jnp.abs(means) ** 2)
 
 

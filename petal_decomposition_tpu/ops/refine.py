@@ -105,6 +105,16 @@ def eigh_refine(a, lam0, v0, steps: int = 3):
     a route tolerance ~1e-9, not the Jacobi off-diagonal tolerance:
     tight clusters refine linearly, not quadratically, and stall near
     1e-11..1e-10 — still far inside the f64 parity band).
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> r = np.random.default_rng(1).normal(size=(32, 32))
+    >>> a = jnp.asarray(r @ r.T)
+    >>> lam32, v32 = np.linalg.eigh(np.asarray(a, np.float32))
+    >>> lam, v, off = eigh_refine(a, lam32, v32)
+    >>> ref = np.linalg.eigvalsh(np.asarray(a))
+    >>> bool(np.max(np.abs(np.asarray(lam) - ref)
+    ...             / np.max(ref)) < 1e-9)
+    True
     """
     a = jnp.asarray(a)
     v = jnp.asarray(v0, a.dtype)
@@ -146,6 +156,17 @@ def refined_eigh(a, steps: int = 3, levels: int = 2):
 
     Returns ``(lam, v, off)`` ascending; ``off`` is the final relative
     residual ``‖AV − VΛ‖∞ / λmax``.
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> r = np.random.default_rng(0).normal(size=(48, 48))
+    >>> a = jnp.asarray(r @ r.T)  # SPD, f64
+    >>> lam, v, off = refined_eigh(a)
+    >>> ref = np.linalg.eigvalsh(np.asarray(a))
+    >>> bool(np.max(np.abs(np.asarray(lam) - ref)
+    ...             / np.max(ref)) < 1e-9)
+    True
+    >>> bool(off < 1e-9)
+    True
     """
     a = jnp.asarray(a)
     n = a.shape[0]

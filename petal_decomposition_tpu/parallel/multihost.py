@@ -35,6 +35,13 @@ def initialize(coordinator_address: str | None = None,
       (single-process is a valid configuration);
     * any failure with EXPLICIT arguments → re-raised: the caller asked
       for a cluster and did not get one.
+
+    >>> from petal_decomposition_tpu.parallel import multihost
+    >>> multihost.initialize()  # auto mode, no cluster: a no-op
+    >>> multihost.is_multihost()
+    False
+    >>> multihost.process_index()
+    0
     """
     explicit = any(
         a is not None
@@ -59,8 +66,12 @@ def initialize(coordinator_address: str | None = None,
 
 
 def is_multihost() -> bool:
+    """True when this process is part of a >1-process cluster (example
+    under :func:`initialize`)."""
     return jax.process_count() > 1
 
 
 def process_index() -> int:
+    """This process's index in the cluster, 0 single-process (example
+    under :func:`initialize`)."""
     return jax.process_index()

@@ -25,7 +25,16 @@ __all__ = ["trace", "FitStats", "record_fit"]
 
 @contextlib.contextmanager
 def trace(log_dir: str):
-    """Capture a device trace viewable in Perfetto/TensorBoard."""
+    """Capture a device trace viewable in Perfetto/TensorBoard.
+
+    >>> import tempfile, os, jax.numpy as jnp
+    >>> with tempfile.TemporaryDirectory() as d:
+    ...     with trace(d):
+    ...         _ = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    ...     wrote = any(f for _, _, fs in os.walk(d) for f in fs)
+    >>> wrote
+    True
+    """
     jax.profiler.start_trace(log_dir)
     try:
         yield
@@ -46,7 +55,17 @@ class FitStats:
 
 @contextlib.contextmanager
 def record_fit(model, n: int, d: int):
-    """Time a fit and attach ``last_fit_stats_`` to the model."""
+    """Time a fit and attach ``last_fit_stats_`` to the model.
+
+    >>> class M: pass
+    >>> m = M()
+    >>> with record_fit(m, n=100, d=8) as stats:
+    ...     stats.extra["note"] = "work happens here"
+    >>> m.last_fit_stats_.n_samples, m.last_fit_stats_.n_features
+    (100, 8)
+    >>> m.last_fit_stats_.wall_time_s > 0
+    True
+    """
     t0 = time.perf_counter()
     stats = FitStats(n_samples=n, n_features=d)
     try:

@@ -66,6 +66,15 @@ def _model_state(model) -> tuple[dict, dict]:
 
 
 def to_bytes(model) -> bytes:
+    """In-memory form of :func:`save`.
+
+    >>> from petal_decomposition_tpu import RandomizedPca
+    >>> from petal_decomposition_tpu.utils.serialize import (
+    ...     to_bytes, from_bytes)
+    >>> m = from_bytes(to_bytes(RandomizedPca(3, seed=7)))
+    >>> type(m).__name__, m.n_components()
+    ('RandomizedPca', 3)
+    """
     meta, arrays = _model_state(model)
     buf = io.BytesIO()
     np.savez(
@@ -133,12 +142,30 @@ def from_bytes(data: bytes):
 
 
 def save(model, path) -> None:
-    """Serialize a fitted (or unfitted) model to ``path`` (.npz)."""
+    """Serialize a fitted (or unfitted) model to ``path`` (.npz).
+
+    A loaded model transforms identically and continues the same PRNG
+    stream (the reference's serde contract, pca.rs:309-315: RNG state
+    rides along).
+
+    >>> import numpy as np, tempfile, os
+    >>> from petal_decomposition_tpu import Pca, save, load
+    >>> x = np.random.default_rng(0).standard_normal((50, 4))
+    >>> m = Pca(2).fit(x)
+    >>> with tempfile.TemporaryDirectory() as d:
+    ...     p = os.path.join(d, "model.npz")
+    ...     save(m, p)
+    ...     m2 = load(p)
+    >>> bool(np.allclose(np.asarray(m2.transform(x)),
+    ...                  np.asarray(m.transform(x))))
+    True
+    """
     with open(path, "wb") as f:
         f.write(to_bytes(model))
 
 
 def load(path):
-    """Load a model written by :func:`save`."""
+    """Load a model written by :func:`save` (see there for the
+    round-trip contract and an example)."""
     with open(path, "rb") as f:
         return from_bytes(f.read())

@@ -7,8 +7,13 @@ import petal_decomposition_tpu.models.fast_ica as fast_ica_mod
 import petal_decomposition_tpu.models.pca as pca_mod
 import petal_decomposition_tpu.models.randomized_pca as rpca_mod
 import petal_decomposition_tpu.models.streaming as streaming_mod
+import petal_decomposition_tpu.ops.centered as centered_mod
 import petal_decomposition_tpu.ops.linalg as linalg_mod
+import petal_decomposition_tpu.ops.refine as refine_mod
 import petal_decomposition_tpu.parallel.mesh as mesh_mod
+import petal_decomposition_tpu.parallel.multihost as multihost_mod
+import petal_decomposition_tpu.utils.profiling as profiling_mod
+import petal_decomposition_tpu.utils.serialize as serialize_mod
 
 
 def _run(module):
@@ -39,3 +44,23 @@ def test_streaming_doctests():
 
 def test_mesh_doctests():
     _run(mesh_mod)
+
+
+def test_serialize_doctests():
+    _run(serialize_mod)
+
+
+def test_multihost_doctests():
+    _run(multihost_mod)
+
+
+def test_centered_doctests():
+    _run(centered_mod)
+
+
+def test_refine_doctests():
+    _run(refine_mod)
+
+
+def test_profiling_doctests():
+    _run(profiling_mod)

@@ -788,3 +788,24 @@ def test_prefetch_keeps_fill_pass_contract():
 
     with pytest.raises(InvalidInput, match="stream changed"):
         pdt.FastIca(seed=1).fit_batched(flaky, block_rows=256)
+
+
+def test_stream_mesh_ica_tail_pads_to_mesh_multiple():
+    """The whitened buffer pads its tail to the next mesh.size
+    multiple, not a whole block: n one row past a block boundary must
+    cost at most mesh.size-1 dead columns (was: block_rows-1)."""
+    from petal_decomposition_tpu.parallel import make_mesh
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    n = 2048 + 1  # one row past a block boundary
+    x = _ica_data(n=n, seed=23)
+    st1 = pdt.FastIca.with_seed(29).fit_batched(x, block_rows=1024)
+    stm = pdt.FastIca(seed=29, mesh=mesh).fit_batched(x, block_rows=1024)
+    cols = stm.last_fit_stats_.extra["whitened_buffer_cols"]
+    assert n <= cols < n + mesh.size
+    assert st1.last_fit_stats_.extra["whitened_buffer_cols"] == n
+    assert stm.n_iter_ == st1.n_iter_
+    np.testing.assert_allclose(
+        np.asarray(stm.components()), np.asarray(st1.components()),
+        rtol=1e-6, atol=1e-9,
+    )
