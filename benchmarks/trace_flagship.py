@@ -185,7 +185,48 @@ def run(n: int, d: int, k: int = 32, do_trace: bool = True) -> dict:
             # the capture window (benchmarks/roofline.py).
             np.asarray(jax.device_get(jnp.ravel(sig)[:1]))
         out["trace_dir"] = os.path.relpath(trace_dir, HERE)
+        ops = _device_op_table(trace_dir)
+        if ops:
+            out["device_op_ms"] = ops
     return out
+
+
+def _device_op_table(trace_dir: str) -> dict | None:
+    """Top device-side op durations (ms) from the captured trace — the
+    dynamic counterpart of the static HLO pass table (an op's wall IS
+    its memory traffic at the measured stream rate, or its MXU time)."""
+    import glob
+    import gzip
+    from collections import defaultdict
+
+    files = sorted(glob.glob(
+        os.path.join(trace_dir, "plugins", "profile", "*",
+                     "*.trace.json.gz")
+    ))
+    if not files:
+        return None
+    with gzip.open(files[-1]) as f:
+        t = json.load(f)
+    events = t.get("traceEvents", [])
+    device_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "device:" in e.get("args", {}).get("name", "").lower()
+    }
+    agg: dict = defaultdict(float)
+    n_ev = 0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            agg[e["name"]] += e.get("dur", 0) / 1e3
+            n_ev += 1
+    if not agg:
+        return None
+    top = dict(sorted(agg.items(), key=lambda kv: -kv[1])[:12])
+    return {
+        "n_device_events": n_ev,
+        "total_device_ms": round(sum(agg.values()), 2),
+        "top_ops": {k: round(v, 2) for k, v in top.items()},
+    }
 
 
 def main() -> None:

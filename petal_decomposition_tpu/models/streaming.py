@@ -108,6 +108,12 @@ def _accum_step(carry, block, shift, n_valid, *, precision):
     docstring).  ``n_valid`` is a dynamic scalar: the final
     partial block is zero-padded to the uniform block shape and masked
     here, so the whole stream compiles exactly one step program.
+
+    Stays plain XLA by measurement: a Pallas prep kernel fusing the
+    shift/mask/bf16-cast/moments into one block read measured 19.2 vs
+    16.4 ms/block at 65536×4096 (v5e, round 5) — XLA already fuses the
+    convert into the dot's operand read, so the kernel's explicit bf16
+    materialization ADDED a pass (DESIGN.md §3).
     """
     from ..parallel.distributed import _gram_of
 
@@ -160,7 +166,9 @@ class StreamMoments:
     """Result of one accumulation pass over a stream."""
 
     def __init__(self, means, gram, total_variance, shift_ratio,
-                 n_samples: int, n_blocks: int, dtype, solve_mesh=None):
+                 n_samples: int, n_blocks: int, dtype, solve_mesh=None,
+                 precision: str = "highest"):
+        self.precision = precision
         self.means = means  # (d,) data dtype
         self.gram = gram  # (d, d) float64, centered when requested
         self.total_variance = total_variance  # f64 scalar
@@ -567,7 +575,38 @@ def _accumulate_chunks(st: _StreamState, chunks, centering: bool,
         st.n_blocks += 1
 
 
-def _moments_from_state(st: _StreamState, centering: bool) -> StreamMoments:
+def _check_shift_ratio(m: "StreamMoments") -> None:
+    """Mean-nonstationarity guard (the streamed κ/mean-domination
+    analogue of the in-core ``_GRAM_GUARD_RMAX`` recompute).
+
+    The shifted accumulation re-centers by subtracting ``n·δδᵀ`` with
+    ``δ = μ − μ̂`` (μ̂ = the first block's mean).  For statistically
+    stationary streams r = n·‖δ‖²/tr(Gc) ≈ 0 and every grade holds; a
+    stream whose mean DRIFTS (e.g. data sorted by a feature) can push r
+    past the grade's rating, where the subtraction cancels
+    catastrophically and σ silently fall below grade.  The in-core fits
+    recompute with explicit centering when their guard trips
+    (distributed.py); a single-pass stream cannot re-read the data, so
+    the honest move is to fail loudly — before any model state mutates
+    — with the workarounds named.
+    """
+    from ..errors import LinalgError
+    from ..parallel.distributed import _GRAM_GUARD_RMAX
+
+    rmax = _GRAM_GUARD_RMAX[m.precision]
+    r = float(m.shift_ratio)
+    if r > rmax:
+        raise LinalgError(
+            f"streamed re-centering is mean-nonstationary beyond the "
+            f"gram_precision={m.precision!r} rating (shift ratio "
+            f"r={r:.3g} > {rmax:g}): sigma would fall below the "
+            "documented grade. Shuffle the stream, raise "
+            "gram_precision, or fit() in core"
+        )
+
+
+def _moments_from_state(st: _StreamState, centering: bool,
+                        precision: str = "highest") -> StreamMoments:
     g, s, sq = st.carry
     n, n_blocks = st.n, st.n_blocks
     if st.multihost:
@@ -588,11 +627,14 @@ def _moments_from_state(st: _StreamState, centering: bool) -> StreamMoments:
         # deleted array).
         gc, tv = g.copy(), sq.copy()
         r = jnp.zeros((), jnp.float64)
-    return StreamMoments(
+    m = StreamMoments(
         means, gc, tv, r, n_samples=n, n_blocks=n_blocks,
         dtype=jnp.dtype(st.dtype),
         solve_mesh=st.put_mesh,
+        precision=precision,
     )
+    _check_shift_ratio(m)
+    return m
 
 
 def accumulate_moments(blocks, *, centering: bool = True,
@@ -638,7 +680,7 @@ def accumulate_moments(blocks, *, centering: bool = True,
     _accumulate_chunks(st, chunks, centering, precision)
     if st.carry is None:
         raise InvalidInput("empty stream: no data blocks")
-    return _moments_from_state(st, centering)
+    return _moments_from_state(st, centering, precision)
 
 
 def _solve_ctx(dtype, mesh):
@@ -989,7 +1031,9 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
     if st.carry is None:
         raise InvalidInput("empty stream: no data blocks")
     st.calls += 1
-    m = _moments_from_state(st, model._centering)
+    m = _moments_from_state(
+        st, model._centering, _stream_gram_precision(model)
+    )
     solve(model, m)
     _install_stats(model, m, t0, FitStats)
     model.last_fit_stats_.extra["partial_fit_calls"] = st.calls

@@ -809,3 +809,41 @@ def test_stream_mesh_ica_tail_pads_to_mesh_multiple():
         np.asarray(stm.components()), np.asarray(st1.components()),
         rtol=1e-6, atol=1e-9,
     )
+
+
+def test_stream_mean_nonstationarity_guard():
+    """A stream whose mean drifts past the grade's rating fails loudly
+    (LinalgError) before any state mutates, instead of silently
+    delivering below-grade sigma; a higher grade absorbs the same
+    drift.  (r = n·|mu − mu_hat|²/tr(Gc) is bounded by n/n_block1, so
+    only a many-block monotone drift can trip even the default rating
+    of 2 — exactly the sorted-stream failure mode.)"""
+    rng = np.random.default_rng(0)
+    d = 16
+    # 8 blocks whose means sweep +a → −a: the first block's mean is a
+    # maximally bad shift for the whole stream.  (r ≈ a²/(a²/3 + 1) ≈ 3
+    # for any a ≫ 1; a stays moderate so κ(X)² remains inside the f32
+    # Gram grade and the σ parity check below is meaningful.)
+    a = 40.0
+    drift = [
+        (rng.normal(size=(500, d)) + mu).astype(np.float32)
+        for mu in np.linspace(a, -a, 8)
+    ]
+    m = pdt.RandomizedPcaBuilder(3).seed(1).gram_precision(
+        "default").build()
+    with pytest.raises(LinalgError, match="mean-nonstationary"):
+        m.fit_batched(drift, block_rows=500)
+    # failed fit left the model unfitted
+    with pytest.raises(Exception):
+        m.transform(drift[0])
+    # The same data fits at a higher grade (rmax 1e5)...
+    hi = pdt.RandomizedPcaBuilder(3).seed(1).gram_precision(
+        "highest").build()
+    hi.fit_batched(drift, block_rows=500)
+    # ...and matches the in-core fit at that seed.
+    ic = pdt.RandomizedPcaBuilder(3).seed(1).range_finder(
+        "gram").build().fit(np.concatenate(drift))
+    np.testing.assert_allclose(
+        np.asarray(hi.singular_values_),
+        np.asarray(ic.singular_values_), rtol=1e-3,
+    )
