@@ -274,12 +274,18 @@ def run_envelope(n_blocks: int) -> dict:
         gram_flops / max(e_def["accum_wall_s"] - rng_s, 1e-9)
         / V5E_BF16_PEAK * 100, 1,
     )
-    if n_blocks <= N_BLOCKS_1M:  # highest is ~6x slower; 1M only
+    if n_blocks <= N_BLOCKS_1M:  # high/highest are slower; 1M only
+        e_high = _envelope(n_blocks, "high")  # the streamed f32 "auto"
         e_hi = _envelope(n_blocks, "highest")
+        out["high"] = e_high
         out["highest"] = e_hi
-        s_d, s_h = out["default"].pop("sigma"), e_hi.pop("sigma")
+        s_d = out["default"].pop("sigma")
+        s_3, s_h = e_high.pop("sigma"), e_hi.pop("sigma")
         out["sigma_rel_diff_default_vs_highest"] = float(
             np.max(np.abs(s_d - s_h) / s_h)
+        )
+        out["sigma_rel_diff_high_vs_highest"] = float(
+            np.max(np.abs(s_3 - s_h) / s_h)
         )
     else:
         out["default"].pop("sigma")
@@ -301,7 +307,10 @@ def run_ingest(n_blocks: int) -> dict:
 
     out = {"rows": n, "gigabytes": round(nbytes / 1e9, 1)}
     sigmas = {}
-    for precision in ("default", "auto"):
+    # Explicit grades: "auto" resolves to "high" for f32 streams on
+    # accelerators since round 5 (benchmarks/GRAM_GRADE.json decision),
+    # so the reference grade for the sigma diff is named explicitly.
+    for precision in ("default", "highest"):
         m = RandomizedPca(K, seed=SEED, gram_precision=precision)
         m.fit_batched(x, block_rows=BLOCK)  # compile + measure in one:
         t0 = time.perf_counter()           # re-fit on the warm cache
@@ -314,9 +323,9 @@ def run_ingest(n_blocks: int) -> dict:
             2.0 * n * D * D / wall / V5E_BF16_PEAK * 100, 1
         )
     out["sigma_rel_diff_default_vs_highest"] = float(
-        np.max(np.abs(sigmas["default"] - sigmas["auto"]) / sigmas["auto"])
+        np.max(np.abs(sigmas["default"] - sigmas["highest"]) / sigmas["highest"])
     )
-    out["sigma_top4"] = [float(s) for s in sigmas["auto"][:4]]
+    out["sigma_top4"] = [float(s) for s in sigmas["highest"][:4]]
     del x
     return out
 

@@ -503,8 +503,13 @@ class RandomizedPcaBuilder:
         return self
 
     def gram_precision(self, precision: str) -> "RandomizedPcaBuilder":
-        """Gram-pass matmul precision for the gram range finder:
-        ``"auto"`` | ``"default"`` | ``"high"`` | ``"highest"``."""
+        """Gram-pass matmul precision for the gram range finder and the
+        streamed (``fit_batched``/``partial_fit``) accumulation:
+        ``"auto"`` | ``"default"`` | ``"high"`` | ``"highest"``.  In-core
+        ``"auto"`` is bf16-grade (quadratically absorbed by the
+        exact-data recovery); streamed f32 ``"auto"`` is ``"high"``
+        (σ come off the Gram at first order — measured grades in
+        benchmarks/GRAM_GRADE.json)."""
         self._gram_precision = precision
         return self
 

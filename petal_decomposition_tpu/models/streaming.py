@@ -409,6 +409,7 @@ class _StreamState:
         self.calls = 0
         self.d = None
         self.dtype = None
+        self.precision = None  # resolved gram grade (first chunk fixes it)
 
 
 def _put_fns(mesh):
@@ -504,13 +505,41 @@ def _fold_process_moments(g, s, sq, n: int, n_blocks: int):
     )
 
 
+def _resolve_stream_precision(setting: str, dtype) -> str:
+    """Resolve ``"auto"`` once the stream's dtype is known (first chunk).
+
+    f32 streams on accelerators get ``"high"`` — 3-pass bf16, measured
+    2.7e-6 relative σ against the ``"highest"`` accumulation on an
+    adversarial κ≈1e3 mean-dominated spectrum at the 16×65536×4096
+    north-star stream (benchmarks/GRAM_GRADE.json), comfortably inside
+    the 1e-5 f32 parity band at 68% of the ``"highest"`` wall
+    (1.11 vs 1.63 s).  ``"default"`` (one bf16 pass) measured 9.8e-6 on
+    the same spectrum — at the band's edge, so it stays opt-in.
+    Everything else (f64 data, CPU) keeps ``"highest"``: f64 grades are
+    indistinguishable there and CPU executes every grade as true
+    f32/f64 GEMMs anyway."""
+    from ..ops.linalg import effective_platform
+
+    if setting != "auto":
+        return setting
+    return (
+        "high"
+        if (np.dtype(dtype) == np.float32
+            and effective_platform() != "cpu")
+        else "highest"
+    )
+
+
 def _init_stream_carry(st: _StreamState, chunk, n_valid: int,
                        centering: bool, precision: str, put_repl) -> None:
-    """First-chunk setup: fix the stream's width/dtype, the provisional
-    shift (multi-host consensus may pre-set it), and the accumulator
-    dtypes."""
+    """First-chunk setup: fix the stream's width/dtype, the resolved
+    gram grade, the provisional shift (multi-host consensus may pre-set
+    it), and the accumulator dtypes."""
     st.d = chunk.shape[1]
     st.dtype = chunk.dtype
+    st.precision = precision = _resolve_stream_precision(
+        precision, chunk.dtype
+    )
     if st.shift is None:
         # Provisional shift: the first chunk's column mean.  Any
         # shift works (the finalize re-centers exactly); a
@@ -562,6 +591,9 @@ def _accumulate_chunks(st: _StreamState, chunks, centering: bool,
             st, first[0], first[1], centering, precision, put_repl
         )
         it = itertools.chain([first], it)
+    # The grade is a property of the STREAM (fixed at the first chunk,
+    # reused by every later partial_fit call on the same state).
+    precision = st.precision
     for dev, n_valid, width in _device_prefetch(it, put_block):
         if width != st.d:
             raise InvalidInput(
@@ -605,8 +637,7 @@ def _check_shift_ratio(m: "StreamMoments") -> None:
         )
 
 
-def _moments_from_state(st: _StreamState, centering: bool,
-                        precision: str = "highest") -> StreamMoments:
+def _moments_from_state(st: _StreamState, centering: bool) -> StreamMoments:
     g, s, sq = st.carry
     n, n_blocks = st.n, st.n_blocks
     if st.multihost:
@@ -631,7 +662,7 @@ def _moments_from_state(st: _StreamState, centering: bool,
         means, gc, tv, r, n_samples=n, n_blocks=n_blocks,
         dtype=jnp.dtype(st.dtype),
         solve_mesh=st.put_mesh,
-        precision=precision,
+        precision=st.precision,
     )
     _check_shift_ratio(m)
     return m
@@ -654,6 +685,11 @@ def accumulate_moments(blocks, *, centering: bool = True,
     one collective fold sums the per-process moments at the end
     (see :class:`_StreamState`); the call is collective — all processes
     must make it, each with at least one block.
+
+    ``precision`` is the Gram grade (``"auto"`` | ``"default"`` |
+    ``"high"`` | ``"highest"``): ``"auto"`` resolves against the
+    stream's dtype at the first chunk
+    (:func:`_resolve_stream_precision`).
 
     >>> import numpy as np
     >>> from petal_decomposition_tpu.models.streaming import (
@@ -680,7 +716,7 @@ def accumulate_moments(blocks, *, centering: bool = True,
     _accumulate_chunks(st, chunks, centering, precision)
     if st.carry is None:
         raise InvalidInput("empty stream: no data blocks")
-    return _moments_from_state(st, centering, precision)
+    return _moments_from_state(st, centering)
 
 
 def _solve_ctx(dtype, mesh):
@@ -859,21 +895,25 @@ def stream_fit_exact(model, blocks, *, block_rows: int | None = None):
 
 
 def _stream_gram_precision(model) -> str:
-    """Matmul precision of the streamed Gram pass for a model.
+    """Gram-grade setting of the streamed pass for a model (possibly
+    still ``"auto"`` — resolved against the stream's dtype at the first
+    chunk, :func:`_resolve_stream_precision`).
 
-    ``RandomizedPca(gram_precision=...)``: ``"auto"`` keeps
-    ``"highest"`` — unlike the in-core Gram *range finder* (whose bf16
-    default is quadratically absorbed by the exact-data recovery), the
-    streamed solve reads σ off G's l×l algebra, so Gram error lands in
-    σ at first order.  An EXPLICIT ``"default"``/``"high"`` opts into
-    bf16/3-pass accumulation — the MXU-saturating mode for
-    compute-bound shapes (d ≳ 4096), at ~1e-3-grade relative σ
-    accuracy (measured in benchmarks/north_star.py).  Models without
-    the knob (``Pca`` — σ² read straight off G) always accumulate at
-    ``"highest"``.
+    ``RandomizedPca(gram_precision=...)``: unlike the in-core Gram
+    *range finder* (whose bf16 default is quadratically absorbed by the
+    exact-data recovery), the streamed solve reads σ off G's l×l
+    algebra, so Gram error lands in σ at first order — which is why the
+    f32 ``"auto"`` resolves to ``"high"`` (3-pass bf16; measured
+    2.7e-6 relative σ on the adversarial κ≈1e3 mean-dominated spectrum,
+    benchmarks/GRAM_GRADE.json) rather than the in-core default's
+    single bf16 pass (9.8e-6 there — at the edge of the 1e-5 f32
+    parity band, opt-in only; on the benign flat spectrum both measure
+    ≲7e-6, benchmarks/NORTH_STAR.json).  Every grade is protected by
+    the mean-nonstationarity guard (:func:`_check_shift_ratio`).
+    Models without the knob (``Pca`` — σ² read straight off G) always
+    accumulate at ``"highest"``.
     """
-    setting = getattr(model, "_gram_precision", "auto")
-    return "highest" if setting == "auto" else setting
+    return getattr(model, "_gram_precision", "auto")
 
 
 def stream_fit_randomized(model, blocks, *, block_rows: int | None = None):
@@ -1031,9 +1071,7 @@ def partial_fit_step(model, x_block, *, block_rows: int | None,
     if st.carry is None:
         raise InvalidInput("empty stream: no data blocks")
     st.calls += 1
-    m = _moments_from_state(
-        st, model._centering, _stream_gram_precision(model)
-    )
+    m = _moments_from_state(st, model._centering)
     solve(model, m)
     _install_stats(model, m, t0, FitStats)
     model.last_fit_stats_.extra["partial_fit_calls"] = st.calls
