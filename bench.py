@@ -589,13 +589,21 @@ def _north_star(dispatch_s: float) -> dict:
         ),
     }
 
-    # σ parity: the real streamed fit vs the in-core gram-finder fit
+    # σ parity: the real streamed fits vs the in-core gram-finder fit
     # on identical data at the same seed (the 4096-wide row subset the
-    # budget allows through this transport).
+    # budget allows through this transport) — both the bench's explicit
+    # MXU-saturating "default" grade above and the out-of-box "auto"
+    # (= "high" for f32 streams since round 5, GRAM_GRADE.json).
+    auto_fit = RandomizedPca(NS_K, seed=seed)  # gram_precision="auto"
+    auto_fit.fit_batched(x_host, block_rows=ing_rows)
     ic = RandomizedPca(NS_K, seed=seed, range_finder="gram")
     ic.fit(x_host)
     s_st = np.asarray(fit.singular_values_)
+    s_auto = np.asarray(auto_fit.singular_values_)
     s_ic = np.asarray(ic.singular_values_)
+    out["sigma_rel_streamed_auto_vs_in_core"] = float(
+        np.max(np.abs(s_auto - s_ic) / s_ic)
+    )
     out["sigma_rel_streamed_vs_in_core"] = float(
         np.max(np.abs(s_st - s_ic) / s_ic)
     )
