@@ -686,6 +686,49 @@ def _ica_rates() -> dict:
         10 / (time.perf_counter() - t0), 1
     )
 
+    # Stage-2 rate: the ds64 middle stage (hi/lo-split f32 MXU gemms
+    # carried in f64, ops/splitmm.py) that runs between the f32 stage
+    # floor (1e-5) and the true-f64 certification steps.  Measured on
+    # the stage body in a fori loop (the while_loop stages can't be
+    # pinned to an iteration count through _ica_par_core); full
+    # methodology + floors in benchmarks/DS64_STAGE.json.
+    from petal_decomposition_tpu.models.fast_ica import (
+        _contrast_sums,
+        symmetric_decorrelation,
+    )
+    from petal_decomposition_tpu.ops import splitmm
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_ds64(x, w, iters: int):
+        xh, xl = splitmm.split_f64(x)
+
+        def step(_, carry):
+            w, _ = carry
+            wx32 = splitmm.mm_split_f32(w, xh, xl)
+            g, gsum = _contrast_sums("logcosh", wx32,
+                                     sum_dtype=jnp.float64)
+            gx = splitmm.mm_split_chunked_f64(g, xh, xl)
+            upd = gx / ICA_N - (gsum / ICA_N)[:, None] * w
+            w1 = symmetric_decorrelation(upd)
+            lim = jnp.max(
+                jnp.abs(jnp.abs(jnp.einsum("ij,ji->i", w1, w)) - 1.0)
+            )
+            return w1, lim
+
+        f64inf = jnp.asarray(jnp.inf, jnp.float64)
+        return jax.lax.fori_loop(0, iters, step, (w, f64inf))
+
+    def run_ds64():
+        w, _ = loop_ds64(x64, w64, iters=ICA_ITERS)
+        np.asarray(w).ravel()[:1]
+
+    run_ds64()
+    t0 = time.perf_counter()
+    run_ds64()
+    out["f64_mixed_ds64_iters_per_sec"] = round(
+        ICA_ITERS / (time.perf_counter() - t0), 1
+    )
+
     # End-to-end mixed fit at the reference tolerance and cap
     # (tol=1e-4, max_iter=200, ica.rs:216).  The reference's
     # convergence functional pairs rows of the NEW W with columns of

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..config import config as _config
 from ..errors import InvalidInput
 from ..ops import linalg as _linalg
+from ..ops import splitmm
 from ..ops.linalg import eigh_psd_jit, mdot, svd
 from ..utils import rng as rng_util
 from . import _common
@@ -109,18 +110,24 @@ def symmetric_decorrelation_ns(w, iters: int = 24):
     return mdot(z, w) / jnp.sqrt(c).astype(w.dtype)
 
 
-def _contrast_sums(fun: str, wx):
-    """G and the per-row *sum* of g′(wx) for the given contrast."""
+def _contrast_sums(fun: str, wx, sum_dtype=None):
+    """G and the per-row *sum* of g′(wx) for the given contrast.
+
+    ``sum_dtype`` widens the g′ row-sum accumulator (the ds64 polish
+    stage evaluates the contrast in f32 but needs the n-length
+    reduction carried in f64: an f32 accumulator over 1e5 samples
+    costs ~√n·eps_f32 ≈ 2e-5 relative, above that stage's ~1e-7
+    update grade)."""
     if fun == "logcosh":
         g = jnp.tanh(wx)
-        s = jnp.sum(1.0 - g * g, axis=1)
+        s = jnp.sum(1.0 - g * g, axis=1, dtype=sum_dtype)
     elif fun == "exp":
         e = jnp.exp(-(wx * wx) / 2.0)
         g = wx * e
-        s = jnp.sum((1.0 - wx * wx) * e, axis=1)
+        s = jnp.sum((1.0 - wx * wx) * e, axis=1, dtype=sum_dtype)
     elif fun == "cube":
         g = wx ** 3
-        s = jnp.sum(3.0 * wx * wx, axis=1)
+        s = jnp.sum(3.0 * wx * wx, axis=1, dtype=sum_dtype)
     else:
         raise ValueError(f"unknown contrast function {fun!r}")
     return g, s
@@ -143,8 +150,16 @@ def logcosh(x):
 
 # Below this the f32 convergence functional is dominated by roundoff
 # noise (k·eps_f32 rotations per step): the mixed-precision f32 stage
-# stops here and hands off to the f64 polish stage.
+# stops here and hands off to the ds64 stage.
 _F32_LIM_FLOOR = 1e-5
+
+# Below this the ds64 stage's convergence functional is dominated by
+# the split-gemm + f32-contrast update error (ops/splitmm.py); the
+# stage hands off to the true-f64 certification stage.  Measured
+# one-step noise vs the f64 body at 64×100k on v5e: |ΔW|∞ 4.8e-7,
+# |Δlim| 4.6e-9 (benchmarks/DS64_STAGE.json one_step_update_noise) —
+# the floor dominates the gated quantity by >400×.
+_DS64_LIM_FLOOR = 2e-6
 
 
 @partial(jax.jit, static_argnames=("max_iter", "fun", "n_valid",
@@ -161,14 +176,24 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
 
     ``precision`` (static): precision of the fixed-point iteration.
     ``"full"`` iterates at the data dtype (reference-faithful).
-    ``"f32"`` (float64 data only) runs the iteration's k×n data matmuls
-    — the entire per-step cost — in float32 on the MXU until the f32
-    noise floor, then *polishes* in float64 from the f32 fixed point
-    until ``tol`` within the remaining ``max_iter`` budget.  The FastICA
-    map is a contraction near its fixed point, so the polish inherits
-    the f32 stage's basin and typically needs 1-3 f64 steps; the final W
-    satisfies the same f64 convergence criterion a full-precision run
-    does.  Total iterations never exceed ``max_iter``.
+    ``"f32"`` (float64 data only) runs a three-stage escalation, each
+    stage iterating until its own noise floor (or ``tol``, whichever is
+    larger) within the shared ``max_iter`` budget:
+
+    1. *f32 stage* — the k×n data matmuls (the entire per-step cost)
+       in float32 on the MXU, to ``_F32_LIM_FLOOR`` (~1e-5);
+    2. *ds64 stage* — the same matmuls as hi/lo-split f32 MXU products
+       carried in f64 (`ops/splitmm.py`; ~4× faster than emulated-f64
+       gemms at 64×100k on v5e) with an f32 contrast and f64-carried
+       reductions/decorrelation, to ``_DS64_LIM_FLOOR`` (~2e-6);
+    3. *f64 stage* — true float64 steps from the ds64 fixed point
+       until ``tol``.
+
+    The FastICA map is a contraction near its fixed point, so each
+    stage inherits the previous stage's basin; the final W satisfies
+    the same f64 convergence criterion a full-precision run does, and
+    the expensive emulated-f64 steps are confined to the last ~decade
+    of convergence.  Total iterations never exceed ``max_iter``.
     """
     n_pad = x.shape[1]
     n = n_pad if n_valid is None else n_valid
@@ -224,6 +249,37 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
             cond, body, (w_start, lim0, jnp.asarray(0, jnp.int32))
         )
 
+    def make_body_ds(xh, xl):
+        # ds64 stage body: identical update algebra, with the two k×n
+        # gemms as split-f32 MXU products (ops/splitmm.py), the
+        # contrast at f32, and all k-sized state carried in f64.
+        def body(state):
+            w, _, it = state
+            wx32 = splitmm.mm_split_f32(w, xh, xl)
+            gwtx, gsum = _contrast_sums(fun, wx32, sum_dtype=jnp.float64)
+            gx = splitmm.mm_split_chunked_f64(gwtx, xh, xl)
+            g_wtx = (gsum - pad * g0) * p_inv
+            update = gx * p_inv - g_wtx[:, None] * w
+            w1 = decorr(update)
+            lim = jnp.max(
+                jnp.abs(jnp.abs(jnp.einsum("ij,ji->i", w1, w)) - 1.0)
+            )
+            return w1, lim, it + 1
+
+        return body
+
+    def run_ds(xh, xl, tol_s, w_start, budget):
+        body = make_body_ds(xh, xl)
+
+        def cond(state):
+            _, lim, it = state
+            return (lim >= tol_s) & (it < budget)
+
+        lim0 = jnp.asarray(jnp.inf, jnp.float64)
+        return jax.lax.while_loop(
+            cond, body, (w_start, lim0, jnp.asarray(0, jnp.int32))
+        )
+
     budget = jnp.asarray(max_iter, jnp.int32)
     if precision == "f32" and x.dtype == jnp.float64:
         f32 = jnp.float32
@@ -232,12 +288,20 @@ def _ica_par_core(x, tol, max_iter: int, w_init, fun: str,
         # Re-orthonormalize at full precision before polishing: the f32
         # W carries ~eps_f32 departures from row-orthonormality.
         w_b = symmetric_decorrelation(w32.astype(x.dtype))
-        w, lim, n2 = run(x, tol, w_b, budget - n1)
-        # Budget exhausted in stage 1 → stage 2 never ran; report the
-        # f32 stage's convergence measure (a non-converged fit, as the
-        # reference reports via n_iter == max_iter, ica.rs:360).
-        lim = jnp.where(n2 > 0, lim, lim32.astype(lim.dtype))
-        return w, lim, n1 + n2
+        xh, xl = splitmm.split_f64(x)
+        tol_ds = jnp.maximum(tol, _DS64_LIM_FLOOR)
+        w_d, lim_d, nd = run_ds(xh, xl, tol_ds, w_b, budget - n1)
+        w, lim, n2 = run(x, tol, w_d, budget - n1 - nd)
+        # Budget exhausted upstream → later stages never ran; report
+        # the last stage that did run's convergence measure (a
+        # non-converged fit, as the reference reports via
+        # n_iter == max_iter, ica.rs:360).
+        lim = jnp.where(
+            n2 > 0,
+            lim,
+            jnp.where(nd > 0, lim_d, lim32.astype(lim.dtype)),
+        )
+        return w, lim, n1 + nd + n2
 
     return run(x, tol, w0, budget)
 

@@ -10,6 +10,7 @@ import petal_decomposition_tpu.models.streaming as streaming_mod
 import petal_decomposition_tpu.ops.centered as centered_mod
 import petal_decomposition_tpu.ops.linalg as linalg_mod
 import petal_decomposition_tpu.ops.refine as refine_mod
+import petal_decomposition_tpu.ops.splitmm as splitmm_mod
 import petal_decomposition_tpu.parallel.mesh as mesh_mod
 import petal_decomposition_tpu.parallel.multihost as multihost_mod
 import petal_decomposition_tpu.utils.profiling as profiling_mod
@@ -60,6 +61,10 @@ def test_centered_doctests():
 
 def test_refine_doctests():
     _run(refine_mod)
+
+
+def test_splitmm_doctests():
+    _run(splitmm_mod)
 
 
 def test_profiling_doctests():

@@ -391,19 +391,19 @@ def test_iteration_precision_validation():
 @pytest.mark.parametrize("fun", ["exp", "cube"])
 def test_iteration_precision_other_contrasts(fun):
     """The mixed-precision stages share one loop body — every contrast
-    converges to the full-precision fixed point."""
+    converges to the full-precision fixed point (up to per-row sign:
+    symmetric FastICA's W is sign-indeterminate — for odd contrasts −w
+    is the same fixed point — and which sign a run lands on depends on
+    the iterate trajectory, which differs across precision stages)."""
     x, s = _mixture(seed=9)
-    full = FastIca(
+    full = np.asarray(FastIca(
         seed=RNG_SEED, tol=1e-9, fun=fun, iteration_precision="full"
-    ).fit(x)
-    mixed = FastIca(
+    ).fit(x).components())
+    mixed = np.asarray(FastIca(
         seed=RNG_SEED, tol=1e-9, fun=fun, iteration_precision="f32"
-    ).fit(x)
-    np.testing.assert_allclose(
-        np.asarray(mixed.components()),
-        np.asarray(full.components()),
-        atol=1e-6,
-    )
+    ).fit(x).components())
+    signs = np.sign(np.sum(mixed * full, axis=1, keepdims=True))
+    np.testing.assert_allclose(signs * mixed, full, atol=1e-6)
 
 
 def test_fast_ica_k_exceeds_data_rank():
