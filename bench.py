@@ -630,6 +630,16 @@ def _ica_rates() -> dict:
     # accelerators, eigh on CPU.
     decorr = resolve_decorrelation("auto")
     out = {"decorrelation": decorr}
+    # Every public fit path warms the Pallas compile probes before
+    # tracing (fast_ica.py _fit); these loops call the private core
+    # directly, so warm them here too — otherwise the traced pipelines
+    # bake in the slow XLA f64 eigh route (~93 ms vs ~3 ms per in-loop
+    # k×k decorrelation; eigh_psd_jit_cert dispatches on `probed()`
+    # under tracing) and the rates understate the product path.
+    from petal_decomposition_tpu.ops.jacobi import warm_kernel_probes
+
+    warm_kernel_probes(jnp.float32)
+    warm_kernel_probes(jnp.float64)
     x32 = jax.random.normal(
         jax.random.key(1), (ICA_K, ICA_N), jnp.float32
     )
@@ -695,8 +705,14 @@ def _ica_rates() -> dict:
     from petal_decomposition_tpu.models.fast_ica import (
         _contrast_sums,
         symmetric_decorrelation,
+        symmetric_decorrelation_ns,
     )
     from petal_decomposition_tpu.ops import splitmm
+
+    decorr_fn = (
+        symmetric_decorrelation_ns if decorr == "ns"
+        else symmetric_decorrelation
+    )
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop_ds64(x, w, iters: int):
@@ -709,7 +725,7 @@ def _ica_rates() -> dict:
                                      sum_dtype=jnp.float64)
             gx = splitmm.mm_split_chunked_f64(g, xh, xl)
             upd = gx / ICA_N - (gsum / ICA_N)[:, None] * w
-            w1 = symmetric_decorrelation(upd)
+            w1 = decorr_fn(upd)
             lim = jnp.max(
                 jnp.abs(jnp.abs(jnp.einsum("ij,ji->i", w1, w)) - 1.0)
             )

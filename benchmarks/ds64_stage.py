@@ -115,6 +115,14 @@ def loop_f32(x32, w32, iters: int):
 
 
 def main():
+    # Pallas compile probes must run eagerly before any tracing or the
+    # jitted loops bake in the slow XLA f64 eigh route (the eager
+    # symmetric_decorrelation below also warms it; be explicit).
+    from petal_decomposition_tpu.ops.jacobi import warm_kernel_probes
+
+    warm_kernel_probes(jnp.float32)
+    warm_kernel_probes(jnp.float64)
+
     out = {"device": str(jax.devices()[0]), "shape": [K, N]}
     key = jax.random.key(1)
     x = jax.random.normal(key, (K, N), jnp.float64)

@@ -354,7 +354,14 @@ def ica_par(x, tol, max_iter: int, w_init, fun: str = "logcosh",
     Returns ``(w, n_iter)``; ``n_iter == max_iter`` when the tolerance was
     never reached, matching the reference's return at ica.rs:360.
     """
+    from ..ops.jacobi import warm_kernel_probes
+
     x = jnp.asarray(x)
+    # As on every model fit path: run the one-time Pallas compile
+    # probes eagerly, or the traced pipeline bakes in the slow XLA f64
+    # eigh route (eigh_psd_jit_cert dispatches on probed() under
+    # tracing — ~93 ms vs ~3 ms per in-loop k×k decorrelation on v5e).
+    warm_kernel_probes(x.dtype)
     w, _, n_iter = _ica_par_core(
         x, jnp.asarray(tol, _common.real_dtype(x.dtype)), int(max_iter),
         jnp.asarray(w_init), fun,
