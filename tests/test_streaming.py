@@ -577,6 +577,28 @@ def test_stream_fast_ica_matches_in_core_eigh():
     assert st.last_fit_stats_.n_iter == st.n_iter_
 
 
+def test_stream_fast_ica_mixed_precision_matches_full():
+    """fit_batched with iteration_precision="f32" (the three-stage
+    f32 → ds64 → f64 escalation) lands on the same fixed point as the
+    full-precision streamed fit, up to per-row sign (odd contrasts
+    admit −W as the same fixed point; which sign a run lands on
+    depends on the precision path's trajectory)."""
+    x = _ica_data(seed=13)
+    seed = 1_234_567_891_011_121_314
+    full = pdt.FastIca(seed=seed, tol=1e-9,
+                       iteration_precision="full").fit_batched(
+        x, block_rows=1024
+    )
+    mixed = pdt.FastIca(seed=seed, tol=1e-9,
+                        iteration_precision="f32").fit_batched(
+        x, block_rows=1024
+    )
+    cf = np.asarray(full.components())
+    cm = np.asarray(mixed.components())
+    signs = np.sign(np.sum(cm * cf, axis=1, keepdims=True))
+    np.testing.assert_allclose(signs * cm, cf, atol=1e-6)
+
+
 def test_stream_fast_ica_unmixes_from_memmap_like_array():
     """A single 2-D array-like streams host-side (memmap path) and the
     recovered sources match the in-core unmixing."""
