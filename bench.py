@@ -18,8 +18,10 @@ Round-3 measurement contract (fixes round-2 VERDICT weak #1/#2/#4):
   chains with 2N−N differencing — the ~26 ms remote-dispatch tax
   (measured, reported) cancels instead of polluting a one-shot timing.
 * The flagship fit uses the DEFAULT dispatch (``range_finder="auto"``
-  → Gram finder on TPU), and the default-constructor path
-  (``RandomizedPca(32).fit``) is measured alongside it.
+  → Gram finder on TPU; since 0.5 the recovery too is Gram-side —
+  ``gram_projection`` auto → zero-pass l×l algebra + one thin-U pass),
+  and the default-constructor path (``RandomizedPca(32).fit``) is
+  measured alongside it.
 * The f64 FastICA contract is explicit: the mixed-precision iterate
   runs its iterations at the f32-stage rate and finishes with a short
   emulated-f64 polish; both stage rates are reported separately plus
@@ -313,13 +315,18 @@ def _flagship(dispatch_s: float) -> dict:
     def pipeline():
         # No internal sync: _timed's flush is the single round trip
         # (an extra np.asarray here measured +26 ms of pure tunnel).
-        return randomized_pca_fit(
+        st = randomized_pca_fit(
             x, key, n_components=K, centering=True,
             n_oversamples=OVERSAMPLES, n_power_iters=POWER_ITERS,
             normalizer="cholqr2", range_finder="auto",
             fused_sketch=fused_ok,
             cfg=config.cache_key(),
-        )["sigma"]
+        )
+        # The auto path on TPU is the zero-pass Gram-algebra recovery
+        # (gram_projection auto, round 5); touching u keeps its
+        # thin-U pass in the measured program (sigma alone would let
+        # XLA DCE it, flattering the number).
+        return st["sigma"] + st["u"][0, :1]
 
     fit_s = _timed(pipeline)
 
@@ -343,15 +350,18 @@ def _flagship(dispatch_s: float) -> dict:
         ts.append(time.perf_counter() - t0)
     api_s = float(np.min(ts))
 
-    # HBM accounting for the gram-finder fit (auto on TPU): bf16
-    # convert (read f32 + write bf16), gram read (bf16), fused
-    # sketch+moments kernel pass (Y, column sums and ‖X‖² in ONE
-    # read), B pass → ~16.4 GB moved.  Without the kernel the
-    # means+‖X‖² reductions cost their own extra f32 pass (+4).
-    per_elt = (4 + 2 + 2 + 4 + 4) if fused_ok else (4 + 2 + 2 + 4 + 4 + 4)
+    # HBM accounting for the gram-projection fit (auto on TPU since
+    # 0.5 — zero-pass Gram-algebra recovery): bf16 convert (read f32 +
+    # write bf16), gram read (bf16), sibling-fused column-sum/‖X‖²
+    # reductions (one extra f32 read — _gram_moments), thin-U pass
+    # (one f32 read) → 16 B/element, ~16.8 GB moved.  The recovery
+    # itself is d-space l×l algebra: zero data passes.
+    per_elt = 4 + 2 + 2 + 4 + 4
     bytes_moved = N_ROWS * N_COLS * per_elt
     gram_flops = 2 * N_ROWS * N_COLS * N_COLS
-    stream_flops = 3 * 2 * N_ROWS * N_COLS * (K + OVERSAMPLES)
+    # One n×d×l data gemm remains (U = Xc·V·Σ⁻¹); the sketch and
+    # projection gemms of the data-side recovery are gone.
+    stream_flops = 2 * N_ROWS * N_COLS * (K + OVERSAMPLES)
     flops = gram_flops + stream_flops
     detail = {
         "pipeline_auto_ms": round(fit_s * 1e3, 1),

@@ -113,7 +113,8 @@ class RandomizedPca:
                  power_iteration_normalizer: str = "auto", mesh=None,
                  finder_precision: str = "auto",
                  range_finder: str = "auto",
-                 gram_precision: str = "auto"):
+                 gram_precision: str = "auto",
+                 gram_projection: str = "auto"):
         if n_components < 0:
             raise InvalidInput("n_components must be non-negative")
         if power_iteration_normalizer not in ("auto",) + _NORMALIZERS:
@@ -138,8 +139,16 @@ class RandomizedPca:
             raise ValueError(f"unknown range finder {range_finder!r}")
         if gram_precision not in ("auto", "default", "high", "highest"):
             raise ValueError(f"unknown gram precision {gram_precision!r}")
+        if gram_projection not in ("auto", "data", "gram"):
+            raise ValueError(f"unknown gram projection {gram_projection!r}")
         self._range_finder = range_finder
         self._gram_precision = gram_precision
+        # Recovery evaluation on the Gram-finder path: "data" projects
+        # B = QᵀX against the exact data (two extra passes), "gram"
+        # reconstructs the identical recovery from Gc's l×l algebra
+        # with zero extra passes (σ at the Gram's grade); "auto" is
+        # measured per platform (distributed._resolve_gram_projection).
+        self._gram_projection = gram_projection
         # Range-finder precision: "auto" runs the sketch/power-iteration
         # gemms of float64 fits in float32 on accelerators (the final
         # projection/SVD stay f64 — quadratic Rayleigh-Ritz recovery
@@ -344,6 +353,7 @@ class RandomizedPca:
                     finder_precision=self._finder_precision,
                     range_finder=self._range_finder,
                     gram_precision=self._gram_precision,
+                    gram_projection=self._gram_projection,
                     fused_sketch=fused_ok,
                     kernel_mesh=self._mesh if fused_ok else None,
                     cfg=_config.cache_key() + (self._mesh,),
@@ -417,6 +427,7 @@ class RandomizedPca:
             finder_precision=self._finder_precision,
             range_finder=self._range_finder,
             gram_precision=self._gram_precision,
+            gram_projection=self._gram_projection,
             fused_sketch=fused_ok,
             cfg=_config.cache_key(),
         )
@@ -454,6 +465,7 @@ class RandomizedPcaBuilder:
         self._finder_precision = "auto"
         self._range_finder = "auto"
         self._gram_precision = "auto"
+        self._gram_projection = "auto"
 
     @classmethod
     def new(cls, n_components: int) -> "RandomizedPcaBuilder":
@@ -513,6 +525,14 @@ class RandomizedPcaBuilder:
         self._gram_precision = precision
         return self
 
+    def gram_projection(self, projection: str) -> "RandomizedPcaBuilder":
+        """Recovery evaluation for the gram range finder: ``"auto"`` |
+        ``"data"`` (project B = QᵀX against the exact data) | ``"gram"``
+        (zero-pass l×l Gram-algebra recovery; σ at the Gram's grade —
+        see ``distributed.randomized_pca_fit``)."""
+        self._gram_projection = projection
+        return self
+
     def build(self) -> RandomizedPca:
         return RandomizedPca(
             self._n_components,
@@ -526,4 +546,5 @@ class RandomizedPcaBuilder:
             finder_precision=self._finder_precision,
             range_finder=self._range_finder,
             gram_precision=self._gram_precision,
+            gram_projection=self._gram_projection,
         )

@@ -38,7 +38,8 @@ Numerical contract (single pass, shifted accumulation):
   Gram-grade (~1e-5·κ(X)² relative).  This matches the accuracy
   contract of the in-core ``solver="gram"`` path; the streamed
   randomized fit additionally reconstructs the in-core finder's exact
-  recovery from G's l×l algebra (``_randomized_solve``), so it matches
+  recovery from G's l×l algebra
+  (``ops.gram_recovery.randomized_gram_recovery``), so it matches
   the in-core gram-finder fit to roundoff at the same seed.
 * Sign convention: with no thin-U available (U would be n×k for an
   unbounded n), components are sign-fixed by their own largest-|·|
@@ -73,6 +74,10 @@ import numpy as np
 from ..config import config
 from ..errors import InvalidInput
 from ..ops import linalg as _linalg
+from ..ops.gram_recovery import (
+    flip_components as _flip_components,
+    randomized_gram_recovery as _randomized_solve,
+)
 from ..ops.linalg import eigh_psd_jit_cert, mdot
 
 __all__ = [
@@ -86,16 +91,6 @@ __all__ = [
 # deep enough that the MXU matmul amortizes dispatch, small enough to
 # double-buffer comfortably in HBM.
 _DEFAULT_BLOCK_ROWS = 65536
-
-
-def _flip_components(vt):
-    """Deterministic per-component signs without U: the largest-|·|
-    entry of each component (first occurrence wins ties, mirroring the
-    reference's strict ``>`` scan) is made non-negative."""
-    idx = jnp.argmax(jnp.abs(vt), axis=1)
-    piv = jnp.take_along_axis(vt, idx[:, None], axis=1)[:, 0]
-    signs = jnp.where(piv < 0, -1, 1).astype(vt.dtype)
-    return vt * signs[:, None]
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("precision",))
@@ -769,67 +764,11 @@ def exact_pca_from_gram(m: StreamMoments, mesh=None):
         )
 
 
-@partial(jax.jit, static_argnames=("n_power_iters", "cfg"))
-def _randomized_solve(gc, omega, *, n_power_iters: int, cfg=None):
-    """The in-core finder's EXACT recovery, reconstructed from G alone.
-
-    In core, σ come from the projection ``B = QᵀX`` with
-    ``Q = orth(X·W)`` — one extra data pass a single-pass stream cannot
-    afford.  But every factor of that recovery lives in the l×l algebra
-    of G: with ``M₁ = WᵀGW`` (= (XW)ᵀ(XW)) and ``M₂ = WᵀG²W``
-    (= (GW)ᵀ(GW)), the symmetric whitener ``S = M₁^(−1/2)`` makes
-    ``Q = X·W·S`` orthonormal and ``B·Bᵀ = S·M₂·S``, so σ² are its
-    eigenvalues and the feature-space right vectors are
-    ``v_j = G·W·S·z_j / σ_j``.  This carries the in-core recovery's
-    σ^(2q+1) spectral filter (a naive Ritz ``WᵀGW`` extraction is one
-    X-application behind: measured 0.2% σ gap at q=7 on a flat
-    spectrum; this closes it to G-precision).  ``S`` is built by eigh
-    with a pseudo-inverse cutoff, so rank-deficient sketches degrade
-    to zero σ instead of NaN."""
-    from ..parallel.distributed import _gram_subspace
-
-    # Orthonormalize the sketch up front so the extraction is valid
-    # even at n_power_iters=0 (``_gram_subspace`` re-QRs after every
-    # G application).
-    w = jnp.linalg.qr(omega, mode="reduced")[0]
-    w = _gram_subspace(gc, w, n_power_iters)
-    gw = mdot(gc, w)  # (d, l)
-    m1 = mdot(w.T, gw)
-    m1 = (m1 + m1.T) / 2
-    m2 = mdot(gw.T, gw)
-    m2 = (m2 + m2.T) / 2
-    lam1, e1, off1 = eigh_psd_jit_cert(m1)  # ascending
-    lam1 = jnp.maximum(lam1, 0)
-    cut = lam1[-1] * jnp.finfo(lam1.dtype).eps * m1.shape[0]
-    ok = lam1 > cut
-    inv_sqrt = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, lam1, 1)), 0)
-    s_half = e1 * inv_sqrt[None, :].astype(e1.dtype)  # S = s_half·e1ᵀ
-    c = mdot(s_half.T, mdot(m2, s_half))  # e1-basis form of S·M₂·S
-    c = (c + c.T) / 2
-    lam2, z, off2 = eigh_psd_jit_cert(c)  # ascending
-    sigma = jnp.sqrt(jnp.maximum(lam2[::-1], 0))
-    inv_sigma = jnp.where(sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1), 0)
-    # v_j = G·W·S·z_j/σ_j; S·z (in the original basis) = s_half·z.
-    v = mdot(gw, mdot(s_half, z[:, ::-1])) * inv_sigma[None, :].astype(
-        gw.dtype
-    )
-    # Re-orthonormalize: in exact arithmetic v is orthonormal, but its
-    # float orthogonality degrades with κ(M₁) = κ(XW)² (the in-core
-    # path avoids this via Householder QR of XW), and σ-cutoff
-    # directions are zero columns.  A final thin QR restores exactly
-    # orthonormal component rows — leading (well-separated) directions
-    # are untouched, dead directions get an orthonormal completion,
-    # matching the in-core eigh behavior on rank-deficient data.
-    v = jnp.linalg.qr(v, mode="reduced")[0]
-    vt = _flip_components(v.T)
-    return sigma, vt, jnp.maximum(off1, off2)
-
-
 def randomized_pca_from_gram(m: StreamMoments, key, *, n_components: int,
                              n_oversamples: int, n_power_iters: int,
                              mesh=None):
     """Randomized factors from accumulated moments: the Gram range
-    finder's subspace iteration (``distributed._gram_subspace``) plus
+    finder's subspace iteration (``ops.gram_recovery.gram_subspace``) plus
     the in-core pipeline's exact recovery reconstructed from the l×l
     algebra of G (see ``_randomized_solve`` — streamed σ match the
     in-core gram-finder fit to ~1e-15 f64 at the same seed).

@@ -48,6 +48,10 @@ from ..ops.centered import (
     centered_sqnorm_guarded,
     guarded_sqnorm_from,
 )
+from ..ops.gram_recovery import (
+    gram_subspace as _gram_subspace,
+    randomized_gram_recovery,
+)
 from ..ops.linalg import (
     cholesky_qr2,
     eigh_psd_jit_cert,
@@ -210,6 +214,56 @@ def _resolve_range_finder(range_finder: str, dtype, n: int, d: int,
     return "direct"
 
 
+def _resolve_gram_projection(gram_projection: str, range_finder: str,
+                             mixed: bool) -> str:
+    """``"auto"`` picks the zero-pass Gram-algebra recovery
+    (``ops.gram_recovery.randomized_gram_recovery``) whenever the
+    Gram range finder runs non-mixed on an accelerator —
+    it removes BOTH per-fit data passes of the data-side recovery (the
+    sketch ``Y = X·W`` and the projection ``B = QᵀX``), leaving one
+    Gram+moments pass plus one thin-U pass.  Measured at the 1M×1024
+    f32 flagship on v5e (same session, min of 5, one sigma-read sync):
+    53.5 ms incl. the U pass vs 65.5 ms for the data-side recovery —
+    ~1.5× on device time once the ~28 ms tunnel dispatch is
+    subtracted (benchmarks/FLAGSHIP_PROBE.json; σ parity at the same
+    key 6.9e-6).
+
+    σ then carry the *Gram's* grade instead of the data projection's —
+    for ``gram_precision="default"`` (one bf16 MXU pass) that is the
+    grade the knob already documents: 9.8e-6 relative σ on an
+    adversarial κ≈1e3 mean-dominated spectrum (benchmarks/
+    GRAM_GRADE.json), inside the 1e-5 f32 band.  CPU keeps the
+    data-side recovery (reference-parity grade at zero extra cost —
+    LAPACK gemms are f32-true), as does the f64 mixed finder (its
+    1e-10 σ contract *requires* projecting against the f64 data).
+    """
+    if gram_projection not in ("auto", "data", "gram"):
+        raise ValueError(f"unknown gram projection {gram_projection!r}")
+    if gram_projection == "gram":
+        if range_finder != "gram":
+            raise ValueError(
+                "gram_projection='gram' requires range_finder='gram'"
+            )
+        if mixed:
+            raise ValueError(
+                "gram_projection='gram' cannot honor the mixed f64 "
+                "finder's 1e-10 sigma contract (sigma would be capped "
+                "at the f32 Gram grade); use gram_projection='data'"
+            )
+        return "gram"
+    if gram_projection == "data":
+        return "data"
+    from ..ops.linalg import effective_platform
+
+    if (
+        range_finder == "gram"
+        and not mixed
+        and effective_platform() != "cpu"
+    ):
+        return "gram"
+    return "data"
+
+
 # Mean-cancellation guard thresholds per Gram precision: the fused
 # uncentered Gram subtracts n·μμᵀ, losing ~(1 + r) of its input grade
 # where r = n‖μ‖²/tr(Gc); beyond these ratios the subspace operator is
@@ -369,18 +423,6 @@ def _fused_gram_flow(x, omega, centering: bool, n_power_iters: int,
     return means, tv, q
 
 
-def _gram_subspace(g_sub, omega, n_power_iters: int):
-    """``qr((G)^q · Ω)`` — power iterations on the d×d subspace operator
-    (tiny d×d×l matmuls; Householder QR between applications because one
-    G application squares the condition number, out of CholeskyQR2's
-    κ ≲ 1/√eps envelope)."""
-    w = omega
-    for it in range(n_power_iters):
-        with jax.named_scope(f"gram_power_{it}"):
-            w = jnp.linalg.qr(mdot(g_sub, w), mode="reduced")[0]
-    return w
-
-
 @partial(
     jax.jit,
     static_argnames=(
@@ -395,6 +437,7 @@ def _gram_subspace(g_sub, omega, n_power_iters: int):
         "finder_precision",
         "range_finder",
         "gram_precision",
+        "gram_projection",
         "fused_sketch",
         "kernel_mesh",
         "cfg",
@@ -409,6 +452,7 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
                        finder_precision: str = "full",
                        range_finder: str = "direct",
                        gram_precision: str = "auto",
+                       gram_projection: str = "auto",
                        fused_sketch: bool = False,
                        kernel_mesh=None, cfg=None):
     """Halko randomized SVD as one sharded XLA computation.
@@ -454,6 +498,19 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
       fused reductions (see :func:`_gram_moments`).
     * ``"auto"``  — see :func:`_resolve_range_finder`.
 
+    ``gram_projection`` (static, Gram finder only): how the recovery
+    (B = QᵀX, SVD of B — pca.rs:681-684) is evaluated:
+
+    * ``"data"`` — project against the exact data (one sketch pass +
+      one projection pass); σ quadratically insensitive to Gram error.
+    * ``"gram"`` — reconstruct the identical recovery from Gc's l×l
+      algebra (``ops.gram_recovery.randomized_gram_recovery``) with
+      ZERO data passes, then recover the thin U in one fused centered
+      matmul; σ carry the Gram's grade (for
+      ``gram_precision="default"``: 9.8e-6 adversarial relative σ,
+      benchmarks/GRAM_GRADE.json).
+    * ``"auto"`` — see :func:`_resolve_gram_projection`.
+
     ``fused_sketch`` (static): allow the fused sketch+moments Pallas
     kernel on the Gram-finder path (real f32 at
     ``gram_precision="default"``).  Callers must have verified
@@ -492,12 +549,54 @@ def randomized_pca_fit(x, key, *, n_components: int, centering: bool = True,
     # Mixed mode is float64-only: casting complex data to float32
     # would silently discard the imaginary half of the sketch.
     mixed = finder_precision == "f32" and x.dtype == jnp.float64
+    if gram_projection == "gram" and range_finder == "auto":
+        # An explicitly pinned Gram-algebra recovery implies the Gram
+        # finder (the complex-dtype check in _resolve_range_finder
+        # still applies).
+        range_finder = "gram"
     range_finder = _resolve_range_finder(
         range_finder, x.dtype, n, d, l,
         full_f64=x.dtype == jnp.float64 and not mixed,
     )
     if gram_precision == "auto":
         gram_precision = "highest" if mixed else "default"
+    gram_projection = _resolve_gram_projection(
+        gram_projection, range_finder, mixed
+    )
+    if range_finder == "gram" and gram_projection == "gram":
+        # Zero-pass recovery: no sketch, no data projection — the
+        # whole randomized SVD runs on Gc's l×l algebra, then ONE
+        # fused centered matmul recovers the thin U (needed for the
+        # reference-exact U-based svd_flip, pca.rs:815-850, and for
+        # fit_transform).  See _resolve_gram_projection for the
+        # measured trade.
+        means, g_sub, tv = _gram_moments(
+            x, centering, n_valid, fuse_centering, gram_precision, n
+        )
+        with jax.named_scope("gram_recovery"):
+            sigma, vt, off = randomized_gram_recovery(
+                g_sub, rng_util.normal(key, (d, l), x.dtype),
+                n_power_iters=n_power_iters, cfg=cfg,
+            )
+        inv_sigma = jnp.where(
+            sigma > 0, 1.0 / jnp.where(sigma > 0, sigma, 1), 0
+        )
+        with jax.named_scope("recover_u"):
+            # U = Xc·V·Σ⁻¹ (zero columns where σ was cut to 0 — the
+            # rank-deficient directions transform to exact zeros).
+            u = centered_matmul(
+                x, (vt.conj().T * inv_sigma[None, :]).astype(x.dtype),
+                means, n_valid,
+            )
+        u, vt = svd_flip(u, vt)
+        return {
+            "u": u,
+            "sigma": sigma,
+            "vt": vt,
+            "means": means,
+            "total_variance": tv,
+            "off": off,
+        }
     tv = None  # total variance; None → sqnorm() pass at the end
 
     def norm(m):
