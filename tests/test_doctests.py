@@ -8,6 +8,7 @@ import petal_decomposition_tpu.models.pca as pca_mod
 import petal_decomposition_tpu.models.randomized_pca as rpca_mod
 import petal_decomposition_tpu.models.streaming as streaming_mod
 import petal_decomposition_tpu.ops.centered as centered_mod
+import petal_decomposition_tpu.ops.gram_recovery as gram_recovery_mod
 import petal_decomposition_tpu.ops.linalg as linalg_mod
 import petal_decomposition_tpu.ops.refine as refine_mod
 import petal_decomposition_tpu.ops.splitmm as splitmm_mod
@@ -69,3 +70,7 @@ def test_splitmm_doctests():
 
 def test_profiling_doctests():
     _run(profiling_mod)
+
+
+def test_gram_recovery_doctests():
+    _run(gram_recovery_mod)
