@@ -184,6 +184,14 @@ def test_gram_projection_invalid_combos():
             n_components=4, range_finder="gram", finder_precision="f32",
             gram_projection="gram", cfg=("t-invalid", 2),
         )
+    # Pinned gram projection forces the gram finder, whose complex
+    # rejection still applies.
+    with pytest.raises(ValueError, match="real dtypes"):
+        randomized_pca_fit(
+            jnp.asarray(x.astype(np.complex64)), key_from_seed(RNG_SEED),
+            n_components=4, range_finder="auto", gram_projection="gram",
+            cfg=("t-invalid", 3),
+        )
 
 
 def test_gram_projection_auto_resolution():
